@@ -1,0 +1,516 @@
+"""Ray-Data-native URL-frontier + fetch scheduler (the flagship pipeline).
+
+Re-expresses the reference's E->T->L loop (SURVEY.md §3, §7) as a
+round-based crawl over a Parquet pages corpus:
+
+    seeds -> canonicalize -> robots gate -> seen-filter (sharded cuckoo
+    actors) -> per-host politeness selection (groupby(host)) -> fetch
+    (bucketed semi-join against the pages index) -> extract text+links
+    (actor-pool map_batches) -> canonicalize links -> within-round dedup
+    (groupby(url_hash)) -> robots -> seen-filter -> next frontier
+
+Scale design (10^10-URL frontier, per north_rule):
+- The pages corpus is indexed ONCE into a hash-bucketed Parquet layout
+  (``bucket = url_hash mod B`` partition dirs): each round's fetch reads
+  only the buckets containing scheduled URLs instead of rescanning the
+  corpus. B is explicit (`CrawlConfig.n_buckets`).
+- Wide steps (within-round dedup, per-host selection) are Ray Data
+  ``groupby`` shuffles; per-host selection keys on ``host`` — hub-domain
+  skew is bounded because the politeness budget caps what any one host
+  contributes per round, and candidate dedup pre-aggregates per batch
+  before the shuffle.
+- Only **bounded** control data reaches the driver: the per-round fetch
+  schedule (≤ hosts × per-host budget rows — that bound is the politeness
+  invariant) and per-round counters. The frontier itself stays in Ray
+  Data / Parquet.
+- Determinism at any parallelism: seen-shard calls are one-per-shard-
+  per-round with sorted input (state/seen.py), dedup keeps a total-order
+  winner (max priority, min depth, then url), and crawl order is the sort
+  by (-priority, url_hash) of the bounded schedule. The single-threaded
+  oracle (pipelines/oracle.py) reproduces all of it.
+- Checkpoint/resume: each round writes pages/order/frontier_next/lineage
+  plus cuckoo-shard snapshots into ``rounds/round=NNNN/`` and an atomic
+  ``_SUCCESS`` marker; resume loads the last complete round exactly
+  (reference analog: idempotent re-runs via keyed upsert,
+  api/src/etl/krx/loader.py:123-137).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.extract import extract_links, extract_text
+from ..functions.urlnorm import canonicalize_batch
+from ..state.robots import RobotsIndex
+from ..state.seen import SeenShards, shard_of_many
+
+
+@dataclass
+class CrawlConfig:
+    max_rounds: int = 16
+    max_per_host_per_round: int = 8
+    politeness_window_ms: int = 2000
+    n_shards: int = 8
+    seen_capacity_per_shard: int = 1 << 20
+    n_buckets: int = 32
+    link_priority_decay: float = 0.5
+    extract_concurrency: int = 4
+    extract_batch_size: int = 512
+
+    def host_budget(self, crawl_delay_ms: int) -> int:
+        """Fetches allowed for a host this round: its crawl delay divides
+        the round's politeness window, capped by the hard per-host max."""
+        by_delay = max(1, self.politeness_window_ms // max(1, crawl_delay_ms))
+        return min(self.max_per_host_per_round, by_delay)
+
+
+def bucket_of_many(digests: list[bytes], n_buckets: int) -> np.ndarray:
+    """Fetch-index bucket of each digest (bytes 16:18 — disjoint from the
+    cuckoo fingerprint/bucket bytes and the seen-shard bytes)."""
+    if not digests:
+        return np.empty(0, np.int64)
+    raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
+    v = raw[:, 16].astype(np.int64) | (raw[:, 17].astype(np.int64) << 8)
+    return v % n_buckets
+
+
+# --------------------------------------------------------------------------
+# Fetch index: one-time hash-bucketed layout of the pages corpus.
+# --------------------------------------------------------------------------
+
+def build_fetch_index(pages_path: str, idx_dir: str, n_buckets: int) -> None:
+    """Index the corpus once: canonicalize ``url``, add ``url_hash`` and
+    ``bucket``, write Hive-partitioned by bucket. Idempotent via marker."""
+    marker = os.path.join(idx_dir, "_IDX_SUCCESS")
+    if os.path.exists(marker):
+        return
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+        canon, hosts, hashes = canonicalize_batch(urls)
+        keep = np.array([c is not None for c in canon])
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            canon, hosts, hashes = canon[keep], hosts[keep], hashes[keep]
+        hl = list(hashes)
+        buckets = bucket_of_many(hl, n_buckets)
+        return (
+            batch.set_column(batch.schema.get_field_index("url"), "url",
+                             pa.array(list(canon), pa.string()))
+            .append_column("url_hash", pa.array(hl, pa.binary()))
+            .append_column("host", pa.array(list(hosts), pa.string()))
+            .append_column("bucket", pa.array(buckets, pa.int32()))
+        )
+
+    (
+        rd.read_parquet(pages_path)
+        .map_batches(add_keys, batch_format="pyarrow", batch_size=4096)
+        .write_parquet(idx_dir, partition_cols=["bucket"])
+    )
+    with open(marker, "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+# --------------------------------------------------------------------------
+# Stages
+# --------------------------------------------------------------------------
+
+_FRONTIER_COLS = ("url", "url_hash", "hash_hex", "host", "priority", "depth")
+
+
+def _as_arrow(ds: rd.Dataset) -> rd.Dataset:
+    """Normalize block type to Arrow after pandas-producing map_groups
+    stages (mixed block types break downstream shuffle sampling)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _canonicalize_stage(batch: pa.Table) -> pa.Table:
+    """raw candidate (url, base?, priority, depth) -> frontier columns;
+    invalid URLs dropped (counted upstream via row deltas)."""
+    urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+    bases = (
+        np.asarray(batch.column("base").to_pylist(), dtype=object)
+        if "base" in batch.column_names else None
+    )
+    canon, hosts, hashes = canonicalize_batch(urls, bases)
+    keep = np.array([c is not None for c in canon], dtype=bool)
+    prio = batch.column("priority").to_numpy(zero_copy_only=False)[keep]
+    depth = batch.column("depth").to_numpy(zero_copy_only=False)[keep]
+    hl = list(hashes[keep])
+    return pa.table(
+        {
+            "url": pa.array(list(canon[keep]), pa.string()),
+            "url_hash": pa.array(hl, pa.binary()),
+            "hash_hex": pa.array([h.hex() for h in hl], pa.string()),
+            "host": pa.array(list(hosts[keep]), pa.string()),
+            "priority": pa.array(prio, pa.float64()),
+            "depth": pa.array(depth.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def _admit_stage(ds: rd.Dataset, robots_ref, shards: SeenShards) -> rd.Dataset:
+    """Candidate admission in ONE shuffle: within-round exact dedup on
+    ``url_hash`` (winner: max priority, min depth — deterministic, SURVEY
+    §2.7 D-1), robots gate (broadcast semi-join, J-2), and the seen-filter
+    check-and-mark, all inside a single ``groupby(shard)``.
+
+    Correct because ``url_hash`` fully determines the shard — every
+    duplicate of a URL lands in the same group, so per-group dedup is
+    global dedup. A per-batch combiner pre-dedups before the shuffle so
+    hub-page link explosions shrink before moving. Each shard actor gets
+    exactly one call per round with sorted unique digests — the
+    determinism contract of state/seen.py.
+    """
+    n_shards = shards.n_shards
+    actors = shards.actors
+
+    def pre_combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hash_hex", "priority", "depth"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.drop_duplicates("hash_hex", keep="first")
+        df["shard"] = shard_of_many(list(df["url_hash"]), n_shards)
+        return df
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        robots_idx: RobotsIndex = ray.get(robots_ref)
+        # global (per-shard == global for this key) dedup, deterministic winner
+        df = df.sort_values(["hash_hex", "priority", "depth"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.drop_duplicates("hash_hex", keep="first")
+        # robots gate
+        mask = robots_idx.allowed_mask(df["host"].to_numpy(dtype=object),
+                                       df["url"].to_numpy(dtype=object))
+        df = df[mask]
+        if len(df) == 0:
+            return df.drop(columns=["shard"])
+        # seen check+mark: sorted unique digests, one actor call
+        digests = list(df["url_hash"])
+        new = ray.get(actors[int(df["shard"].iloc[0])]
+                      .check_and_insert.remote(digests))
+        return df[np.asarray(new, dtype=bool)].drop(columns=["shard"])
+
+    return _as_arrow(
+        ds.map_batches(pre_combine, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html -> (text_extracted, links) per page. Stateless task (the
+    extractor's regexes are compiled once per worker process at module
+    import, which persists across rounds — cheaper than re-spawning an
+    actor pool every round). The emitted text is the engine's own
+    extraction; the byte-identical-per-url invariant is asserted against
+    the corpus golden column in tests."""
+    htmls = batch.column("html").to_pylist()
+    urls = batch.column("url").to_pylist()
+    texts = [extract_text(h) for h in htmls]
+    links = [extract_links(h, u) for h, u in zip(htmls, urls)]
+    out = batch.drop_columns(["html"])
+    return out.append_column("text_extracted", pa.array(texts, pa.string())) \
+              .append_column("links", pa.array(links, pa.list_(pa.string())))
+
+
+def _explode_links(batch: pa.Table, decay: float) -> pa.Table:
+    """(url, links, priority, depth) -> one candidate row per link."""
+    links = batch.column("links").to_pylist()
+    urls = batch.column("url").to_pylist()
+    prio = batch.column("priority").to_numpy(zero_copy_only=False)
+    depth = batch.column("depth").to_numpy(zero_copy_only=False)
+    out_url, out_base, out_prio, out_depth = [], [], [], []
+    for i, ls in enumerate(links):
+        for link in ls:
+            out_url.append(link)
+            out_base.append(urls[i])
+            out_prio.append(prio[i] * decay)
+            out_depth.append(depth[i] + 1)
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "base": pa.array(out_base, pa.string()),
+            "priority": pa.array(out_prio, pa.float64()),
+            "depth": pa.array(np.asarray(out_depth, np.int32), pa.int32()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Crawl driver loop
+# --------------------------------------------------------------------------
+
+def _round_dir(out_dir: str, r: int) -> str:
+    return os.path.join(out_dir, "rounds", f"round={r:04d}")
+
+
+def _ingest(ds_candidates: rd.Dataset, robots_ref, shards: SeenShards) -> rd.Dataset:
+    """candidates -> canonical, deduped, robots-gated, never-seen frontier
+    rows (and marks them seen). One map + one shuffle."""
+    ds = ds_candidates.map_batches(_canonicalize_stage, batch_format="pyarrow")
+    return _admit_stage(ds, robots_ref, shards)
+
+
+def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
+          seeds: pa.Table, robots: pa.Table, *,
+          resume: bool = False) -> dict:
+    """Run (or resume) the crawl. Returns a summary dict with totals."""
+    os.makedirs(out_dir, exist_ok=True)
+    idx_dir = os.path.join(out_dir, "pages_idx")
+    build_fetch_index(pages_path, idx_dir, cfg.n_buckets)
+
+    robots_idx = RobotsIndex(robots)
+    robots_ref = ray.put(robots_idx)
+
+    start_round = 0
+    pending: rd.Dataset | None = None
+    shards: SeenShards
+    if resume:
+        last = -1
+        rounds_root = os.path.join(out_dir, "rounds")
+        if os.path.isdir(rounds_root):
+            for name in sorted(os.listdir(rounds_root)):
+                r = int(name.split("=")[1])
+                if os.path.exists(os.path.join(rounds_root, name, "_SUCCESS")):
+                    last = max(last, r)
+        if last >= 0:
+            rdir = _round_dir(out_dir, last)
+            shards = SeenShards(cfg.n_shards, cfg.seen_capacity_per_shard,
+                                restore_dir=os.path.join(rdir, "seen"))
+            fdir = os.path.join(rdir, "frontier_next")
+            meta = json.load(open(os.path.join(rdir, "meta.json")))
+            pending = rd.read_parquet(fdir) if meta["pending"] > 0 else None
+            start_round = last + 1
+            if meta["pending"] == 0:
+                return _summarize(out_dir, start_round)
+        else:
+            resume = False
+    if not resume:
+        shards = SeenShards(cfg.n_shards, cfg.seen_capacity_per_shard)
+        seeds_ds = rd.from_arrow(
+            pa.table({
+                "url": seeds.column("url"),
+                "priority": seeds.column("priority"),
+                "depth": pa.array(np.zeros(seeds.num_rows, np.int32), pa.int32()),
+            })
+        )
+        pending = _ingest(seeds_ds, robots_ref, shards).materialize()
+        if pending.count() == 0:
+            pending = None
+
+    try:
+        for r in range(start_round, cfg.max_rounds):
+            if pending is None:
+                break
+            pending = _run_round(r, pending, idx_dir, out_dir, cfg,
+                                 robots_ref, shards)
+    finally:
+        shards.kill()
+    return _summarize(out_dir, cfg.max_rounds)
+
+
+def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
+               cfg: CrawlConfig, robots_ref, shards: SeenShards):
+    t0 = time.perf_counter()
+    rdir = _round_dir(out_dir, r)
+    tmp = rdir + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    robots_idx: RobotsIndex = ray.get(robots_ref)
+    lineage: list[dict] = []
+
+    # ---- politeness selection: per-host top-budget, groupby(host) shuffle
+    delay_ms = robots_idx.delay_ms
+    budget_fn = cfg.host_budget
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        b = budget_fn(delay_ms.get(df["host"].iloc[0], 1000))
+        df = df.sort_values(["priority", "hash_hex"],
+                            ascending=[False, True], kind="mergesort")
+        df["selected"] = np.arange(len(df)) < b
+        return df
+
+    marked = _as_arrow(
+        pending.groupby("host")
+        .map_groups(select, batch_format="pandas")
+    ).materialize()
+    def _only(flag: bool):
+        return lambda t: t.filter(pc.equal(t.column("selected"), flag)) \
+                          .select(list(_FRONTIER_COLS))
+
+    selected_batches = list(
+        marked.map_batches(_only(True), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    selected_tbl = (
+        pa.concat_tables(selected_batches, promote_options="default")
+        if selected_batches else pa.table(
+            {c: pa.array([], t) for c, t in zip(
+                _FRONTIER_COLS,
+                [pa.string(), pa.binary(), pa.string(), pa.string(),
+                 pa.float64(), pa.int32()])})
+    )
+    deferred = marked.map_batches(_only(False), batch_format="pyarrow")
+
+    n_pending = marked.count()
+    n_selected = selected_tbl.num_rows
+
+    # ---- crawl order: total order over the bounded schedule
+    sched = selected_tbl.to_pandas()
+    sched = sched.sort_values(["priority", "hash_hex"],
+                              ascending=[False, True], kind="mergesort")
+    sched["seq"] = np.arange(len(sched), dtype=np.int64)
+    order_tbl = pa.table({
+        "round": pa.array(np.full(len(sched), r, np.int32), pa.int32()),
+        "seq": pa.array(sched["seq"].to_numpy(), pa.int64()),
+        "url": pa.array(sched["url"].tolist(), pa.string()),
+    })
+    sched_map = {
+        h: (int(s), float(p), int(d))
+        for h, s, p, d in zip(sched["url_hash"], sched["seq"],
+                              sched["priority"], sched["depth"])
+    }
+    sched_ref = ray.put(sched_map)
+
+    # ---- fetch: read only the buckets the schedule touches
+    buckets = sorted(set(bucket_of_many(list(sched["url_hash"]),
+                                        cfg.n_buckets).tolist()))
+    fetched = None
+    if buckets:
+        import glob as _glob
+        paths = []
+        for b in buckets:
+            paths.extend(sorted(_glob.glob(
+                os.path.join(idx_dir, f"bucket={b}", "*.parquet"))))
+
+        def fetch_filter(batch: pa.Table) -> pa.Table:
+            smap = ray.get(sched_ref)
+            hashes = batch.column("url_hash").to_pylist()
+            keep, seqs, prios, depths = [], [], [], []
+            for h in hashes:
+                hit = smap.get(h)
+                keep.append(hit is not None)
+                if hit is not None:
+                    seqs.append(hit[0]); prios.append(hit[1]); depths.append(hit[2])
+            batch = batch.filter(pa.array(keep))
+            return (
+                batch.append_column("seq", pa.array(seqs, pa.int64()))
+                .append_column("priority", pa.array(prios, pa.float64()))
+                .append_column("depth", pa.array(depths, pa.int32()))
+            )
+
+        if paths:
+            fetched = (
+                rd.read_parquet(paths,
+                                columns=["url", "url_hash", "host", "lang",
+                                         "html", "text"])
+                .map_batches(fetch_filter, batch_format="pyarrow",
+                             batch_size=2048)
+            )
+
+    # ---- extract text + links (actor pool), write pages, expand frontier
+    n_fetched = 0
+    next_pending = deferred
+    if fetched is not None:
+        extracted = fetched.map_batches(
+            extract_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+        ).materialize()
+        n_fetched = extracted.count()
+
+        def _to_pages(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["links", "text"])
+            idx = t.schema.get_field_index("text_extracted")
+            return t.rename_columns(
+                ["text" if i == idx else n
+                 for i, n in enumerate(t.column_names)]
+            ).append_column("round", pa.array(
+                np.full(t.num_rows, r, np.int32), pa.int32()))
+
+        extracted.map_batches(_to_pages, batch_format="pyarrow") \
+            .write_parquet(os.path.join(tmp, "pages"))
+
+        decay = cfg.link_priority_decay
+        candidates = extracted.select_columns(
+            ["url", "links", "priority", "depth"]
+        ).map_batches(lambda b: _explode_links(b, decay),
+                      batch_format="pyarrow")
+        new_rows = _ingest(candidates, robots_ref, shards)
+        next_pending = deferred.union(new_rows)
+
+    next_pending = next_pending.materialize()
+    n_next = next_pending.count()
+
+    # ---- checkpoint the round atomically
+    if n_next > 0:
+        next_pending.write_parquet(os.path.join(tmp, "frontier_next"))
+    else:
+        os.makedirs(os.path.join(tmp, "frontier_next"), exist_ok=True)
+    pq.write_table(order_tbl, os.path.join(tmp, "order.parquet"))
+    shards.save(os.path.join(tmp, "seen"))
+    wall_ms = (time.perf_counter() - t0) * 1000
+    lineage.append({"round": r, "stage": "round", "partition": -1,
+                    "rows_in": n_pending, "rows_out": n_fetched,
+                    "rows_rejected": n_selected - n_fetched,
+                    "wall_ms": wall_ms})
+    pq.write_table(pa.Table.from_pylist(lineage), os.path.join(tmp, "lineage.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"round": r, "pending": n_next, "selected": n_selected,
+                   "fetched": n_fetched, "wall_ms": wall_ms}, f)
+    os.rename(tmp, rdir)
+    with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return next_pending if n_next > 0 else None
+
+
+def _summarize(out_dir: str, max_rounds: int) -> dict:
+    rounds_root = os.path.join(out_dir, "rounds")
+    total_fetched = 0
+    rounds = 0
+    if os.path.isdir(rounds_root):
+        for name in sorted(os.listdir(rounds_root)):
+            rdir = os.path.join(rounds_root, name)
+            if not os.path.exists(os.path.join(rdir, "_SUCCESS")):
+                continue
+            meta = json.load(open(os.path.join(rdir, "meta.json")))
+            total_fetched += meta["fetched"]
+            rounds += 1
+    return {"rounds": rounds, "fetched": total_fetched, "out_dir": out_dir}
+
+
+def read_crawl_pages(out_dir: str) -> rd.Dataset:
+    """All crawled pages across completed rounds."""
+    import glob as _glob
+
+    paths = []
+    rounds_root = os.path.join(out_dir, "rounds")
+    for name in sorted(os.listdir(rounds_root)):
+        rdir = os.path.join(rounds_root, name)
+        pdir = os.path.join(rdir, "pages")
+        if os.path.exists(os.path.join(rdir, "_SUCCESS")) and os.path.isdir(pdir):
+            paths.extend(sorted(_glob.glob(os.path.join(pdir, "*.parquet"))))
+    return rd.read_parquet(paths)
+
+
+def read_crawl_order(out_dir: str) -> pa.Table:
+    tabs = []
+    rounds_root = os.path.join(out_dir, "rounds")
+    for name in sorted(os.listdir(rounds_root)):
+        rdir = os.path.join(rounds_root, name)
+        if os.path.exists(os.path.join(rdir, "_SUCCESS")):
+            tabs.append(pq.read_table(os.path.join(rdir, "order.parquet")))
+    return pa.concat_tables(tabs) if tabs else None

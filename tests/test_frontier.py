@@ -1,0 +1,109 @@
+"""Frontier crawl vs the single-threaded oracle: crawl order, page set,
+byte-identical text, cuckoo seen-state equality — and kill/resume
+equality (north_rule invariants)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from hyperion_crawler_ray.pagegen import write_universe
+from hyperion_crawler_ray.pipelines.frontier import (
+    CrawlConfig,
+    crawl,
+    read_crawl_order,
+    read_crawl_pages,
+)
+from hyperion_crawler_ray.pipelines.oracle import oracle_crawl
+from hyperion_crawler_ray.state.cuckoo import CuckooFilter
+
+N_PAGES = 1200
+CFG = CrawlConfig(max_rounds=4, n_shards=4, n_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("frontier"))
+    write_universe(os.path.join(base, "corpus"), N_PAGES, use_ray=False)
+    return base
+
+
+def _fixtures(base):
+    seeds = pq.read_table(os.path.join(base, "corpus", "seeds.parquet"))
+    robots = pq.read_table(os.path.join(base, "corpus", "robots.parquet"))
+    return seeds, robots
+
+
+def _engine_order(out_dir):
+    t = read_crawl_order(out_dir)
+    return sorted(zip(t.column("round").to_pylist(),
+                      t.column("seq").to_pylist(),
+                      t.column("url").to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    seeds, robots = _fixtures(corpus)
+    return oracle_crawl(os.path.join(corpus, "corpus", "pages"),
+                        seeds, robots, CFG)
+
+
+@pytest.fixture(scope="module")
+def crawl_result(corpus):
+    seeds, robots = _fixtures(corpus)
+    out = os.path.join(corpus, "crawl")
+    summary = crawl(os.path.join(corpus, "corpus", "pages"), out, CFG,
+                    seeds, robots)
+    return out, summary
+
+
+def test_crawl_order_matches_oracle(crawl_result, oracle_result):
+    out, _ = crawl_result
+    assert _engine_order(out) == sorted(oracle_result["order"])
+
+
+def test_pages_and_text_match_oracle(crawl_result, oracle_result):
+    out, summary = crawl_result
+    pages = read_crawl_pages(out).to_pandas()
+    assert summary["fetched"] == oracle_result["fetched"] == len(pages)
+    assert set(pages["url"]) == set(oracle_result["pages"])
+    for u, t in zip(pages["url"], pages["text"]):
+        assert oracle_result["pages"][u] == t  # byte-identical per url
+
+
+def test_seen_state_matches_oracle(crawl_result, oracle_result):
+    out, _ = crawl_result
+    last = sorted(glob.glob(os.path.join(out, "rounds", "round=*", "seen")))[-1]
+    for s, ocf in enumerate(oracle_result["filters"]):
+        ecf = CuckooFilter.load(os.path.join(last, f"shard-{s}.npz"))
+        assert np.array_equal(ecf.table, ocf.table)
+        assert ecf.overflow == ocf.overflow
+        assert ecf.count == ocf.count
+
+
+def test_kill_resume_equality(corpus, crawl_result, oracle_result):
+    """Stop after 2 rounds, resume to 4 — identical order/pages/seen as
+    the uninterrupted run."""
+    seeds, robots = _fixtures(corpus)
+    pages_path = os.path.join(corpus, "corpus", "pages")
+    out2 = os.path.join(corpus, "crawl_resumed")
+    shutil.rmtree(out2, ignore_errors=True)
+    partial = CrawlConfig(**{**CFG.__dict__, "max_rounds": 2})
+    crawl(pages_path, out2, partial, seeds, robots)
+    crawl(pages_path, out2, CFG, seeds, robots, resume=True)
+
+    out_full, _ = crawl_result
+    assert _engine_order(out2) == _engine_order(out_full)
+    p2 = read_crawl_pages(out2).to_pandas().sort_values("url")
+    pf = read_crawl_pages(out_full).to_pandas().sort_values("url")
+    assert list(p2["url"]) == list(pf["url"])
+    assert list(p2["text"]) == list(pf["text"])
+    last2 = sorted(glob.glob(os.path.join(out2, "rounds", "round=*", "seen")))[-1]
+    for s in range(CFG.n_shards):
+        ecf = CuckooFilter.load(os.path.join(last2, f"shard-{s}.npz"))
+        ocf = oracle_result["filters"][s]
+        assert np.array_equal(ecf.table, ocf.table)
+        assert ecf.overflow == ocf.overflow
