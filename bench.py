@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline frontier-crawl pipeline plus a
+representative operator-query suite over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "frontier_crawl_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_fetched": ..., "pages_per_sec": ...}
+
+``--scaling`` mode (north_rule criterion, sandbox protocol per
+BASELINE.md): runs the identical job in two FRESH processes at
+num_cpus=8 and num_cpus=32 and reports pages/sec at both plus
+efficiency = (pps32 / pps8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary", "derived_cols", "dedup_first_wins", "latest_per_key",
+    "hash_join", "broadcast_join", "grouped_preagg", "upsert_merge",
+    "tumbling_window", "session_window", "exact_dedup_docs", "quality_score",
+    "token_count", "minhash_lsh", "simhash", "ann_topk", "ngram_jaccard",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+
+    from hyperion_crawler_ray.pagegen import write_universe
+    from hyperion_crawler_ray.pipelines.frontier import (
+        CrawlConfig,
+        build_fetch_index,
+        crawl,
+    )
+    from hyperion_crawler_ray.pipelines.queries import QUERIES
+
+    # ---- headline: frontier crawl over the deterministic universe -------
+    n_pages = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 40000}.get(
+        os.path.basename(os.path.normpath(SF_DIR)), 40000)
+    base = f"/tmp/hyperion_bench_{n_pages}"
+    corpus = os.path.join(base, "corpus")
+    write_universe(corpus, n_pages, use_ray=(n_pages > 20000))
+    seeds = pq.read_table(os.path.join(corpus, "seeds.parquet"))
+    robots = pq.read_table(os.path.join(corpus, "robots.parquet"))
+
+    out_dir = os.path.join(base, f"crawl_cpus{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(max_rounds=8, max_per_host_per_round=64,
+                      politeness_window_ms=16000, n_shards=8, n_buckets=16)
+
+    t0 = time.perf_counter()
+    build_fetch_index(os.path.join(corpus, "pages"),
+                      os.path.join(out_dir, "pages_idx"), cfg.n_buckets)
+    index_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    summary = crawl(os.path.join(corpus, "pages"), out_dir, cfg, seeds, robots)
+    crawl_sec = time.perf_counter() - t0
+
+    # ---- operator suite --------------------------------------------------
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        if isinstance(res, rd.Dataset):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(crawl_sec + sum(qtimes.values()), 3)
+    out = {
+        "metric": "frontier_crawl_plus_operator_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_sec": round(crawl_sec, 3),
+        "index_build_sec": round(index_sec, 3),
+        "pages_fetched": summary["fetched"],
+        "rounds": summary["rounds"],
+        "pages_per_sec": round(summary["fetched"] / crawl_sec, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_child(ncpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpus))
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True, check=True,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        pps_lo, pps_hi = r_lo["pages_per_sec"], r_hi["pages_per_sec"]
+        eff = (pps_hi / pps_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "num_cpus_lo": lo, "num_cpus_hi": hi,
+            "pages_per_sec_lo": pps_lo, "pages_per_sec_hi": pps_hi,
+            "crawl_sec_lo": r_lo["crawl_sec"], "crawl_sec_hi": r_hi["crawl_sec"],
+            "suite_sec_lo": r_lo["value"], "suite_sec_hi": r_hi["value"],
+        }))
+    else:
+        print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

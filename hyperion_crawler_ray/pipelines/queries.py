@@ -1,0 +1,1016 @@
+"""Driver-facing query registry: one entry per operator family of
+SURVEY.md §2, each as a Ray Data pipeline over the /root/testdata tables,
+with a matching ANSI-SQL oracle (DuckDB) where SQL can express it.
+
+Contract (see /root/repo/__ray_entry__.py): every callable takes
+``sf_dir`` and returns a Dataset / DataFrame / Table; computed column
+names match the oracle SQL exactly; float aggregates are rounded on both
+sides so value-hashes compare stably.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..stages import aggregates as agg
+from ..stages import ann as annm
+from ..stages import dedup as dd
+from ..stages import joins as jn
+from ..stages import text as tx
+from ..stages import transforms as tr
+from ..stages import windows as win
+from ..sources import merge as mg
+
+STOP_SQL = "('" + "','".join(tx.STOPWORDS) + "')"
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Pruned-at-the-read parquet scan of one table."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+def _rnd(arr, nd: int):
+    """Round half-away-from-zero (DuckDB's convention; pyarrow defaults
+    to banker's rounding which disagrees on exact halves)."""
+    return pc.round(pc.cast(arr, pa.float64()), ndigits=nd,
+                    round_mode="half_towards_infinity")
+
+
+def _round_col(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, _rnd(t.column(c), nd))
+        return t
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# =========================================================================
+# Relational operators (oracle-checked)
+# =========================================================================
+
+def q_pricing_summary(sf_dir):
+    """A-1/A-2 family: grouped sums with per-batch pre-aggregation
+    (combiner before the shuffle) — TPC-H-Q1-shaped. Money sums run in
+    the exact integer-cents domain so the result is independent of
+    summation order (distributed partial sums vs sequential oracle)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                 "l_extendedprice", "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        base = pc.cast(_rnd(pc.multiply(t.column("l_extendedprice"), 100.0), 0),
+                       pa.int64())
+        disc = pc.cast(_rnd(pc.multiply(
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            10000.0), 0), pa.int64())
+        return t.append_column("base_cents", base) \
+                .append_column("disc_c4", disc)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = agg.preagg_sum(ds, ["l_returnflag", "l_linestatus"],
+                         {"sum_qty": "l_quantity",
+                          "base_cents": "base_cents",
+                          "disc_c4": "disc_c4"},
+                         count_as="count_order")
+
+    def post(t: pa.Table) -> pa.Table:
+        t = t.append_column("avg_qty", _rnd(
+            pc.divide(t.column("sum_qty"),
+                      pc.cast(t.column("count_order"), pa.float64())), 4))
+        t = t.append_column("sum_base_price", pc.divide(
+            pc.cast(t.column("base_cents"), pa.float64()), 100.0))
+        t = t.append_column("sum_disc_price", _rnd(pc.divide(
+            pc.cast(t.column("disc_c4"), pa.float64()), 10000.0), 2))
+        return t.drop_columns(["base_cents", "disc_c4"])
+
+    out = out.map_batches(post, batch_format="pyarrow")
+    return _round_col(out, {"sum_qty": 2})
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+       count(*) AS count_order,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_normalize_date(sf_dir):
+    """T-1 normalize_date."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    return tr.normalize_date(ds, "o_orderdate", "order_date_str") \
+             .select_columns(["o_orderkey", "order_date_str"])
+
+
+SQL_NORMALIZE_DATE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+FROM orders
+"""
+
+
+def q_clean_numeric(sf_dir):
+    """T-2 clean_numeric over the dirty-string props column."""
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+    return tr.clean_numeric(ds, "props", "k_value") \
+             .select_columns(["event_id", "k_value"])
+
+
+SQL_CLEAN_NUMERIC = """
+SELECT event_id,
+       CAST(regexp_replace(props, '[^0-9.\\-]', '', 'g') AS DOUBLE) AS k_value
+FROM events
+"""
+
+
+def q_map_fields(sf_dir):
+    """T-3/T-6 projection + rename."""
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    return tr.map_fields(ds, {"id": "c_custkey", "name": "c_name",
+                              "segment": "c_mktsegment"})
+
+
+SQL_MAP_FIELDS = """
+SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment FROM customer
+"""
+
+
+def q_nested_struct(sf_dir):
+    """T-3/T-4: pack flat cols into a struct, then extract via dotted
+    path — validates the nested-record round trip (reference ohlcv)."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_extendedprice", "l_quantity"])
+    ds = tr.pack_struct(ds, ["l_extendedprice", "l_quantity"], "ohlcv")
+    return tr.map_fields(ds, {"l_orderkey": "l_orderkey",
+                              "l_linenumber": "l_linenumber",
+                              "close_price": "ohlcv.l_extendedprice",
+                              "volume_qty": "ohlcv.l_quantity"})
+
+
+SQL_NESTED_STRUCT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice AS close_price,
+       l_quantity AS volume_qty
+FROM lineitem
+"""
+
+
+def q_coalesce_defaults(sf_dir):
+    """T-5 apply_default_values (nulls constructed deterministically)."""
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def make_nulls(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        v = pc.if_else(pc.less(v, 50.0), pa.scalar(None, pa.float64()), v)
+        return t.set_column(t.schema.get_field_index("value"), "value", v)
+
+    ds = ds.map_batches(make_nulls, batch_format="pyarrow")
+    return tr.apply_defaults(ds, {"value": -1.0})
+
+
+SQL_COALESCE = """
+SELECT event_id,
+       coalesce(CASE WHEN value < 50 THEN NULL ELSE value END, -1.0) AS value
+FROM events
+"""
+
+
+def q_derived_cols(sf_dir):
+    """T-7/T-8 derived measures."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_extendedprice", "l_discount", "l_quantity"])
+    ds = tr.derived_column(ds, "net_price", lambda t: _rnd(
+        pc.multiply(t.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), t.column("l_discount"))), 2))
+    ds = tr.derived_column(ds, "trading_value", lambda t: _rnd(
+        pc.multiply(t.column("l_extendedprice"), t.column("l_quantity")), 2))
+    return ds.select_columns(["l_orderkey", "l_linenumber", "net_price",
+                              "trading_value"])
+
+
+SQL_DERIVED = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+       round(l_extendedprice * l_quantity, 2) AS trading_value
+FROM lineitem
+"""
+
+
+def q_conditional_scale(sf_dir):
+    """T-9 unit normalization."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    ds = tr.conditional_scale(ds, "p_retailprice", "price_scaled",
+                              threshold=1000.0, factor=100.0)
+    return _round_col(ds.select_columns(["p_partkey", "price_scaled"]),
+                      {"price_scaled": 2})
+
+
+SQL_COND_SCALE = """
+SELECT p_partkey,
+       round(CASE WHEN p_retailprice < 1000 THEN p_retailprice * 100
+                  ELSE p_retailprice END, 2) AS price_scaled
+FROM part
+"""
+
+
+def q_normalize_identifier(sf_dir):
+    """T-10 upper + zero-pad."""
+    ds = _t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    ds = tr.normalize_identifier(ds, "s_name", "name_upper", upper=True)
+    ds = tr.normalize_identifier(ds, "s_suppkey", "padded_id", upper=False,
+                                 pad_to=10)
+    return ds.select_columns(["s_suppkey", "name_upper", "padded_id"])
+
+
+SQL_NORM_ID = """
+SELECT s_suppkey, upper(s_name) AS name_upper,
+       lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded_id
+FROM supplier
+"""
+
+
+def q_validate_filter(sf_dir):
+    """T-13/T-17 row-predicate quality gate."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def mask(t: pa.Table):
+        m = pc.and_(pc.greater(t.column("l_quantity"), 0.0),
+                    pc.greater_equal(t.column("l_extendedprice"), 0.0))
+        m = pc.and_(m, pc.and_(
+            pc.greater_equal(t.column("l_discount"), 0.0),
+            pc.less_equal(t.column("l_discount"), 0.5)))
+        return pc.and_(m, pc.greater_equal(t.column("l_tax"), 0.0))
+
+    return tr.filter_expr(ds, mask).select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+SQL_VALIDATE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity > 0 AND l_extendedprice >= 0
+  AND l_discount BETWEEN 0 AND 0.5 AND l_tax >= 0
+"""
+
+
+def q_whitelist(sf_dir):
+    """D-4 whitelist intersect filter."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type"])
+    return tr.whitelist(ds, "event_type", ["purchase", "signup"])
+
+
+SQL_WHITELIST = """
+SELECT event_id, event_type FROM events
+WHERE event_type IN ('purchase', 'signup')
+"""
+
+
+def q_categorical_map(sf_dir):
+    """§2.8 rating_map categorical lookup (pc.index_in + take)."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type"])
+    mapping = {"purchase": 5, "signup": 4, "click": 3, "view": 2, "error": 1}
+    return tr.categorical_map(ds, "event_type", "type_score", mapping,
+                              default=0)
+
+
+SQL_CAT_MAP = """
+SELECT event_id, event_type,
+       CASE event_type WHEN 'purchase' THEN 5 WHEN 'signup' THEN 4
+            WHEN 'click' THEN 3 WHEN 'view' THEN 2 WHEN 'error' THEN 1
+            ELSE 0 END AS type_score
+FROM events
+"""
+
+
+def q_split_tokens(sf_dir):
+    """T-19 regex split, first part."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tr.split_column(ds, "text", "first_token", r"\s+", part=0) \
+             .select_columns(["doc_id", "first_token"])
+
+
+SQL_SPLIT = """
+SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')[1] AS first_token
+FROM documents
+"""
+
+
+def q_dedup_first_wins(sf_dir):
+    """D-1 exact composite-key dedup, deterministic first-wins."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = dd.exact_dedup(ds, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select_columns(["user_id", "event_type", "event_id"])
+
+
+SQL_DEDUP = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_latest_per_key(sf_dir):
+    """A-3 latest-snapshot per key."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = dd.latest_per_key(ds, ["user_id"], "ts", "event_id")
+    return out.select_columns(["user_id", "event_id", "value"])
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_global_latest(sf_dir):
+    """A-3 global max-then-filter (latest trade date analog)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    latest = ds.max("o_orderdate")
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("o_orderdate"), latest))
+
+    return ds.map_batches(f, batch_format="pyarrow") \
+             .select_columns(["o_orderkey", "o_totalprice"])
+
+
+SQL_GLOBAL_LATEST = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+"""
+
+
+def q_topk(sf_dir):
+    """O-1/O-2 deterministic top-k."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct(sf_dir):
+    """A-5 distinct."""
+    vals = sorted(_t(sf_dir, "customer", ["c_mktsegment"])
+                  .unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_table_counts(sf_dir):
+    """A-4 stage-boundary counters (metadata-only)."""
+    return agg.table_counts({
+        name: os.path.join(sf_dir, f"{name}.parquet")
+        for name in ("orders", "lineitem", "customer", "events", "documents")
+    })
+
+
+SQL_COUNTS = """
+SELECT (SELECT count(*) FROM orders) AS orders_rows,
+       (SELECT count(*) FROM lineitem) AS lineitem_rows,
+       (SELECT count(*) FROM customer) AS customer_rows,
+       (SELECT count(*) FROM events) AS events_rows,
+       (SELECT count(*) FROM documents) AS documents_rows
+"""
+
+
+def q_broadcast_join(sf_dir):
+    """J-1 broadcast dimension join: customer x nation x region."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "r_name"]].rename(columns={"r_name": "region_name"})
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = jn.broadcast_join(
+        ds.map_batches(lambda df: df.rename(columns={"c_nationkey": "n_nationkey"}),
+                       batch_format="pandas"),
+        dim, on="n_nationkey")
+    out = agg.preagg_sum(joined, ["region_name"],
+                         {"sum_acctbal": "c_acctbal"}, count_as="n_customers")
+    return _round_col(out, {"sum_acctbal": 2})
+
+
+SQL_BCAST_JOIN = """
+SELECT r.r_name AS region_name,
+       round(sum(c.c_acctbal), 2) AS sum_acctbal,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_semi_join(sf_dir):
+    """J-2 semi-join gate (broadcast key set)."""
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_orderstatus"])
+    fkeys = orders.filter(pc.equal(orders.column("o_orderstatus"), "F")) \
+                  .column("o_orderkey").to_pylist()
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    gated = jn.semi_join(ds, "l_orderkey", fkeys)
+    return gated.groupby("l_returnflag").count() \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_returnflag", "n"]), batch_format="pyarrow")
+
+
+SQL_SEMI_JOIN = """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag
+"""
+
+
+def q_anti_join(sf_dir):
+    """J-2 negation (reject set): customers with no URGENT order."""
+    od = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_custkey", "o_orderpriority"])
+    urgent = od.filter(pc.equal(od.column("o_orderpriority"), "1-URGENT")) \
+               .column("o_custkey").to_pylist()
+    ds = _t(sf_dir, "customer", ["c_custkey"])
+    return jn.anti_join(ds, "c_custkey", urgent)
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_hash_join(sf_dir):
+    """Large-large partitioned hash join + aggregate."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    joined = jn.hash_join(li, od, on="l_orderkey", num_partitions=16)
+    out = agg.preagg_sum(joined, ["o_orderstatus"],
+                         {"sum_qty": "l_quantity"}, count_as="n")
+    return _round_col(out, {"sum_qty": 2})
+
+
+SQL_HASH_JOIN = """
+SELECT o.o_orderstatus, round(sum(l.l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+def q_consensus(sf_dir):
+    """A-1 grouped consensus (mean/count/min/max)."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    return agg.grouped_consensus(ds, "event_type", "value")
+
+
+SQL_CONSENSUS = """
+SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_histogram(sf_dir):
+    """A-1 value-distribution histogram."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    return agg.grouped_histogram(ds, "event_type", "value", bin_width=50.0)
+
+
+SQL_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events GROUP BY event_type, bin
+"""
+
+
+def q_grouped_preagg(sf_dir):
+    """Combiner-before-shuffle at high key cardinality."""
+    ds = _t(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    out = agg.preagg_sum(ds, ["l_suppkey"], {"sum_qty": "l_quantity"},
+                         count_as="n")
+    return _round_col(out, {"sum_qty": 2})
+
+
+SQL_GROUPED_PREAGG = """
+SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_upsert_merge(sf_dir):
+    """S-5/D-2 keyed UPSERT as snapshot merge (new-wins)."""
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def old_side(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy()
+        t = t.filter(pa.array(keys % 3 == 0))
+        return t.append_column("src", pa.array(["old"] * t.num_rows))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy()
+        t = t.filter(pa.array(keys % 2 == 0))
+        return t.append_column("src", pa.array(["new"] * t.num_rows))
+
+    existing = base.map_batches(old_side, batch_format="pyarrow")
+    incoming = base.map_batches(new_side, batch_format="pyarrow")
+    return mg.upsert(existing, incoming, ["o_orderkey"])
+
+
+SQL_UPSERT = """
+SELECT o_orderkey, o_totalprice, 'new' AS src FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'old' AS src FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+"""
+
+
+def q_replace_partition(sf_dir):
+    """S-7 partition overwrite."""
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def mk_price(t: pa.Table) -> pa.Table:
+        return t.append_column("price", _rnd(t.column("o_totalprice"), 2)) \
+                .drop_columns(["o_totalprice"])
+
+    existing = base.map_batches(mk_price, batch_format="pyarrow")
+
+    def incoming_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        t = t.append_column("price", _rnd(
+            pc.multiply(t.column("o_totalprice"), 2.0), 2))
+        return t.drop_columns(["o_totalprice"])
+
+    incoming = base.map_batches(incoming_part, batch_format="pyarrow")
+    return mg.replace_partitions(existing, incoming, "o_orderpriority")
+
+
+SQL_REPLACE = """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+FROM orders WHERE o_orderpriority <> '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority, round(o_totalprice * 2, 2) AS price
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# =========================================================================
+# Windowed aggregates (events log)
+# =========================================================================
+
+def q_tumbling_window(sf_dir):
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    out = win.tumbling_window(ds, "ts", "event_type", "value", freq="D")
+    return _round_col(out, {"sum_value": 2})
+
+
+SQL_TUMBLING = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+def q_session_window(sf_dir):
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    return win.session_windows(ds, "ts", "user_id", gap_minutes=30)
+
+
+SQL_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# =========================================================================
+# Text / training-data operators (documents)
+# =========================================================================
+
+def q_lang_distribution(sf_dir):
+    ds = _t(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").count().map_batches(
+        lambda t: t.rename_columns(["lang", "n"]), batch_format="pyarrow")
+
+
+SQL_LANG_DIST = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q_exact_dedup_docs(sf_dir):
+    """Exact content dedup: hash-partition + per-group first."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    ds = dd.add_text_hash(ds, "text")
+    from ray.data.aggregate import Count, Min
+    return ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="first_doc_id"),
+        Count(alias_name="n_dups"))
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT md5(text) AS text_hash, min(doc_id) AS first_doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(sf_dir):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tx.token_count(ds, "text").select_columns(["doc_id", "n_tokens"])
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(sf_dir):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = tx.quality_score(ds)
+    return out.select_columns(["doc_id", "n_tokens", "stopword_ratio",
+                               "mean_word_len"])
+
+
+SQL_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(array_length(t) AS BIGINT) AS n_tokens,
+       round(CAST(len(list_filter(t, x -> x IN {STOP_SQL})) AS DOUBLE)
+             / greatest(array_length(t), 1), 6) AS stopword_ratio,
+       round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+             / greatest(array_length(t), 1), 6) AS mean_word_len
+FROM toks
+"""
+
+
+def q_fingerprint(sf_dir):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tx.fingerprint(ds, "text").select_columns(["doc_id", "fingerprint"])
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, substring(md5(text), 1, 8) AS fingerprint FROM documents
+"""
+
+
+def q_ngram_jaccard(sf_dir):
+    """n-gram (word-set) Jaccard of consecutive doc pairs via the
+    partitioned hash join."""
+    left = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: df.assign(join_id=df["doc_id"] + 1),
+        batch_format="pandas")
+    right = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: pd.DataFrame({"join_id": df["doc_id"],
+                                 "text_b": df["text"]}),
+        batch_format="pandas")
+    joined = jn.hash_join(left, right, on="join_id", num_partitions=8)
+
+    def jac(df: pd.DataFrame) -> pd.DataFrame:
+        sims = []
+        for a, b in zip(df["text"], df["text_b"]):
+            sa, sb = set(a.split()), set(b.split())
+            u = len(sa | sb)
+            sims.append(round(len(sa & sb) / u, 6) if u else 1.0)
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "jaccard": np.asarray(sims, dtype=np.float64)})
+
+    return joined.map_batches(jac, batch_format="pandas") \
+                 .map_batches(lambda t: t, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD = """
+SELECT d1.doc_id AS doc_id,
+       round(CAST(len(list_intersect(
+                list_distinct(regexp_split_to_array(trim(d1.text), '\\s+')),
+                list_distinct(regexp_split_to_array(trim(d2.text), '\\s+'))))
+             AS DOUBLE)
+           / len(list_distinct(list_concat(
+                list_distinct(regexp_split_to_array(trim(d1.text), '\\s+')),
+                list_distinct(regexp_split_to_array(trim(d2.text), '\\s+'))))),
+           6) AS jaccard
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+"""
+
+
+# =========================================================================
+# Embeddings / ANN
+# =========================================================================
+
+def _query_vec(sf_dir):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    row = t.filter(pc.equal(t.column("vec_id"), 0))
+    return np.asarray(row.column("embedding").to_pylist()[0], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir):
+    """Brute-force cosine top-10 to vec 0 (per-batch matmul combiner)."""
+    q = _query_vec(sf_dir)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = annm.cosine_topk(ds, "embedding", "vec_id", q, k=10,
+                           exclude_ids=frozenset([0]))
+    return out[["vec_id", "rank"]]
+
+
+SQL_ANN_TOPK = """
+SELECT vec_id, CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(
+             embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[])
+           DESC, vec_id) AS BIGINT) AS rank
+FROM embeddings WHERE vec_id <> 0
+ORDER BY rank LIMIT 10
+"""
+
+
+def q_embedding_stats(sf_dir):
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"],
+            "dim": df["embedding"].map(len).astype("int64"),
+        }).groupby("label", as_index=False).agg(n=("dim", "size"),
+                                                dim=("dim", "max"))
+
+    from ray.data.aggregate import Max, Sum
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("label").aggregate(Sum("n", alias_name="n"),
+                                         Max("dim", alias_name="dim"))
+
+
+SQL_EMBEDDING_STATS = """
+SELECT label, count(*) AS n, CAST(max(len(embedding)) AS BIGINT) AS dim
+FROM embeddings GROUP BY label
+"""
+
+
+# =========================================================================
+# Non-SQL-expressible (rows-only checks): near-dup, ANN variants, crawl,
+# multimodal
+# =========================================================================
+
+def q_minhash_lsh(sf_dir):
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    sigs = dd.minhash_signatures(ds, "text", "doc_id", num_perm=64)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", bands=16)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    return dd.jaccard_verify(pairs, docs, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash(sf_dir):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_column(ds, "text").select_columns(["doc_id", "simhash"])
+
+
+def q_embedding_neardup(sf_dir):
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dd.embedding_near_dup(ds, "embedding", "vec_id", threshold=0.95)
+
+
+def q_ivf_topk(sf_dir):
+    q = _query_vec(sf_dir)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = annm.ivf_build_centroids(ds, "embedding", n_cells=8)
+    return annm.ivf_topk(ds, "embedding", "vec_id", q, k=10, centroids=cents,
+                         n_probe=3)
+
+
+def q_rolling_fingerprint(sf_dir):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tx.rolling_fingerprint(ds, "text").select_columns(
+        ["doc_id", "rhash"])
+
+
+def q_langid_heuristic(sf_dir):
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(tx.LangId, batch_format="pandas", concurrency=2,
+                          batch_size=2048, num_cpus=0.5) \
+             .select_columns(["doc_id", "lang", "lang_pred"]) \
+             .map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir):
+    """Multimodal plumbing: synth binary payloads -> actor-pool decode."""
+    from ..stages.multimodal import decode_media, synth_media_table
+    n = 500
+    ds = rd.from_arrow(synth_media_table(n))
+    return decode_media(ds, concurrency=2, batch_size=64)
+
+
+def _universe_scale(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 20000}.get(name, 2000)
+
+
+def _crawl_dirs(sf_dir: str):
+    n = _universe_scale(sf_dir)
+    base = f"/tmp/hyperion_universe_{n}"
+    return n, base
+
+
+def q_url_canonicalize(sf_dir):
+    """URL canonicalization over the deterministic universe's messy URLs."""
+    from ..functions.urlnorm import canonicalize_batch
+    from ..pagegen import PageUniverse
+
+    n, _ = _crawl_dirs(sf_dir)
+    uni = PageUniverse(n)
+    raw = [uni.messy_url(j % n, j % 6) for j in range(min(n, 5000))]
+    ds = rd.from_arrow(pa.table({"raw_url": pa.array(raw, pa.string())}))
+
+    def f(t: pa.Table) -> pa.Table:
+        urls = np.asarray(t.column("raw_url").to_pylist(), dtype=object)
+        canon, hosts, hashes = canonicalize_batch(urls)
+        return pa.table({
+            "raw_url": t.column("raw_url"),
+            "canon_url": pa.array(list(canon), pa.string()),
+            "host": pa.array(list(hosts), pa.string()),
+            "url_hash_hex": pa.array(
+                [h.hex() if h else None for h in hashes], pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_extract_text(sf_dir):
+    """Byte-identical extraction invariant as a queryable pipeline."""
+    from ..pagegen import write_universe
+    from .frontier import extract_batch
+
+    n, base = _crawl_dirs(sf_dir)
+    write_universe(os.path.join(base, "corpus"), n, use_ray=(n > 20000))
+    import glob
+    files = sorted(glob.glob(os.path.join(base, "corpus", "pages",
+                                          "*.parquet")))
+    ds = rd.read_parquet(files)
+
+    def check(t: pa.Table) -> pa.Table:
+        t2 = t.append_column("priority", pa.array([0.0] * t.num_rows)) \
+              .append_column("depth", pa.array([0] * t.num_rows, pa.int32()))
+        out = extract_batch(t2)
+        golden = t.column("text").to_pylist()
+        got = out.column("text_extracted").to_pylist()
+        match = [a == b for a, b in zip(golden, got)]
+        return pa.table({"url": t.column("url"),
+                         "text": out.column("text_extracted"),
+                         "byte_identical": pa.array(match, pa.bool_())})
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def q_crawl_frontier(sf_dir):
+    """The flagship: full frontier crawl over the deterministic universe;
+    returns the crawled pages with their total crawl order."""
+    import shutil
+
+    from ..pagegen import write_universe
+    from .frontier import CrawlConfig, crawl, read_crawl_pages
+
+    n, base = _crawl_dirs(sf_dir)
+    corpus = os.path.join(base, "corpus")
+    write_universe(corpus, n, use_ray=(n > 20000))
+    out_dir = os.path.join(base, "crawl_q")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    seeds = pq.read_table(os.path.join(corpus, "seeds.parquet"))
+    robots = pq.read_table(os.path.join(corpus, "robots.parquet"))
+    cfg = CrawlConfig(max_rounds=5, n_shards=4, n_buckets=8)
+    crawl(os.path.join(corpus, "pages"), out_dir, cfg, seeds, robots)
+    return read_crawl_pages(out_dir).select_columns(
+        ["url", "host", "lang", "round", "seq"])
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "normalize_date": q_normalize_date,
+    "clean_numeric": q_clean_numeric,
+    "map_fields": q_map_fields,
+    "nested_struct": q_nested_struct,
+    "coalesce_defaults": q_coalesce_defaults,
+    "derived_cols": q_derived_cols,
+    "conditional_scale": q_conditional_scale,
+    "normalize_identifier": q_normalize_identifier,
+    "validate_filter": q_validate_filter,
+    "whitelist": q_whitelist,
+    "categorical_map": q_categorical_map,
+    "split_tokens": q_split_tokens,
+    "dedup_first_wins": q_dedup_first_wins,
+    "latest_per_key": q_latest_per_key,
+    "global_latest": q_global_latest,
+    "topk": q_topk,
+    "distinct": q_distinct,
+    "table_counts": q_table_counts,
+    "broadcast_join": q_broadcast_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "hash_join": q_hash_join,
+    "consensus": q_consensus,
+    "histogram": q_histogram,
+    "grouped_preagg": q_grouped_preagg,
+    "upsert_merge": q_upsert_merge,
+    "replace_partition": q_replace_partition,
+    "tumbling_window": q_tumbling_window,
+    "session_window": q_session_window,
+    "lang_distribution": q_lang_distribution,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "embedding_stats": q_embedding_stats,
+    # rows-only (non-SQL-expressible)
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "langid_heuristic": q_langid_heuristic,
+    "multimodal_decode": q_multimodal_decode,
+    "url_canonicalize": q_url_canonicalize,
+    "extract_text": q_extract_text,
+    "crawl_frontier": q_crawl_frontier,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "normalize_date": SQL_NORMALIZE_DATE,
+    "clean_numeric": SQL_CLEAN_NUMERIC,
+    "map_fields": SQL_MAP_FIELDS,
+    "nested_struct": SQL_NESTED_STRUCT,
+    "coalesce_defaults": SQL_COALESCE,
+    "derived_cols": SQL_DERIVED,
+    "conditional_scale": SQL_COND_SCALE,
+    "normalize_identifier": SQL_NORM_ID,
+    "validate_filter": SQL_VALIDATE,
+    "whitelist": SQL_WHITELIST,
+    "categorical_map": SQL_CAT_MAP,
+    "split_tokens": SQL_SPLIT,
+    "dedup_first_wins": SQL_DEDUP,
+    "latest_per_key": SQL_LATEST_PER_KEY,
+    "global_latest": SQL_GLOBAL_LATEST,
+    "topk": SQL_TOPK,
+    "distinct": SQL_DISTINCT,
+    "table_counts": SQL_COUNTS,
+    "broadcast_join": SQL_BCAST_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "hash_join": SQL_HASH_JOIN,
+    "consensus": SQL_CONSENSUS,
+    "histogram": SQL_HISTOGRAM,
+    "grouped_preagg": SQL_GROUPED_PREAGG,
+    "upsert_merge": SQL_UPSERT,
+    "replace_partition": SQL_REPLACE,
+    "tumbling_window": SQL_TUMBLING,
+    "session_window": SQL_SESSION,
+    "lang_distribution": SQL_LANG_DIST,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY,
+    "fingerprint": SQL_FINGERPRINT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_stats": SQL_EMBEDDING_STATS,
+}

@@ -1,0 +1,85 @@
+"""Aggregations (SURVEY.md §2.5) with the combiner-before-shuffle pattern.
+
+``preagg_sum`` computes partial aggregates inside each batch and ships
+only one row per (key, batch) into the groupby — the scale-critical trick
+for 100 TB groupbys (SURVEY §7.3). ``grouped_consensus`` re-derives A-1
+``calculate_consensus`` (reference api/src/etl/base/transformer.py:221-237).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def preagg_sum(ds: rd.Dataset, keys: list[str],
+               sums: dict[str, str], count_as: str | None = None) -> rd.Dataset:
+    """Partial-aggregate sums/counts per batch, then a small global
+    groupby over the partials. ``sums``: {out_name: source_col}."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False, sort=False)
+        agg = g.agg(**{out: (src, "sum") for out, src in sums.items()})
+        if count_as:
+            agg[count_as] = g.size()["size"].to_numpy()
+        return agg
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for out in sums]
+    if count_as:
+        aggs.append(Sum(count_as, alias_name=count_as))
+    return partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*aggs)
+
+
+def grouped_consensus(ds: rd.Dataset, key: str, value: str,
+                      round_to: int = 4) -> rd.Dataset:
+    """A-1 consensus: per-key mean / count / min / max (value-distribution
+    histogram variant: ``grouped_histogram``)."""
+    out = ds.groupby(key).aggregate(
+        Mean(value, alias_name="avg_value"),
+        Count(alias_name="n"),
+        Min(value, alias_name="min_value"),
+        Max(value, alias_name="max_value"),
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        i = t.schema.get_field_index("avg_value")
+        # half_towards_infinity = DuckDB's round() convention
+        return t.set_column(i, "avg_value",
+                            pc.round(t.column("avg_value"), ndigits=round_to,
+                                     round_mode="half_towards_infinity"))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def grouped_histogram(ds: rd.Dataset, key: str, value: str,
+                      bin_width: float) -> rd.Dataset:
+    """A-1's value-distribution histogram as a first-class groupby:
+    count per (key, floor(value / bin_width)) with per-batch combining."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, value]].copy()
+        df["bin"] = np.floor(df[value].to_numpy() / bin_width).astype(np.int64)
+        return df.groupby([key, "bin"], as_index=False, sort=False).agg(
+            n=(value, "size"))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def table_counts(paths: dict[str, str]) -> pd.DataFrame:
+    """A-4 stage-boundary counters: metadata-only row counts per table
+    (parquet footer reads — no data scan)."""
+    import pyarrow.parquet as pq
+
+    return pd.DataFrame([{
+        f"{name}_rows": pq.ParquetFile(path).metadata.num_rows
+        for name, path in paths.items()
+    }])

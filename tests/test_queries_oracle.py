@@ -1,0 +1,46 @@
+"""Operator library vs DuckDB oracle at sf0.001 (the driver runs the same
+comparison at sf0.01 — this is the fast regression gate)."""
+
+import duckdb
+import pytest
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from hyperion_crawler_ray.pipelines.queries import ORACLE_SQL, QUERIES
+from tools.check_oracles import TABLES, compare, to_pandas
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(name, con):
+    got = to_pandas(QUERIES[name](SF_DIR))
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    err = compare(got, want)
+    assert err is None, f"{name}: {err}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)
+                                        - {"crawl_frontier"}))
+def test_rows_only_queries_run(name):
+    got = to_pandas(QUERIES[name](SF_DIR))
+    assert len(got) >= 0
+    if name in ("simhash", "rolling_fingerprint", "langid_heuristic"):
+        assert len(got) == 500  # one row per document
+    if name == "multimodal_decode":
+        assert set(got.columns) >= {"media_id", "width", "height", "features"}
+    if name == "url_canonicalize":
+        assert got["canon_url"].notna().all()
+    if name == "extract_text":
+        assert got["byte_identical"].all()

@@ -1,0 +1,86 @@
+"""Direct unit tests for stages not fully covered by the SQL oracles:
+near-dup detection quality, merge modes, multimodal determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from hyperion_crawler_ray.sources.merge import update_only, upsert
+from hyperion_crawler_ray.stages.dedup import (
+    embedding_near_dup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_column,
+)
+from hyperion_crawler_ray.stages.multimodal import decode_media, synth_media_table
+
+
+def _docs_with_near_dups():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the river bank today").split()
+    rows = []
+    for i in range(20):
+        words = [f"w{i}_{k}" for k in range(30)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # 100 & 101: near-identical (one word changed)
+    rows.append({"doc_id": 100, "text": " ".join(base)})
+    mut = list(base)
+    mut[5] = "leaps"
+    rows.append({"doc_id": 101, "text": " ".join(mut)})
+    return pd.DataFrame(rows)
+
+
+def test_minhash_lsh_finds_planted_near_dup():
+    docs = _docs_with_near_dups()
+    ds = rd.from_pandas(docs)
+    sigs = minhash_signatures(ds, "text", "doc_id", num_perm=64)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16).to_pandas()
+    assert {(100, 101)} <= set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_simhash_close_for_near_dups():
+    docs = _docs_with_near_dups()
+    out = simhash_column(rd.from_pandas(docs), "text").to_pandas()
+    sig = dict(zip(out["doc_id"], out["simhash"]))
+    ham = bin(int(sig[100]) ^ int(sig[101])).count("1")
+    assert ham <= 8
+    ham_rand = bin(int(sig[0]) ^ int(sig[100])).count("1")
+    assert ham_rand > 16
+
+
+def test_embedding_near_dup_finds_planted_pair():
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((50, 16))
+    vecs[41] = vecs[40] + 0.001 * rng.standard_normal(16)  # planted dup
+    df = pd.DataFrame({"vec_id": np.arange(50),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = embedding_near_dup(rd.from_pandas(df), "embedding", "vec_id",
+                             threshold=0.99).to_pandas()
+    assert (40, 41) in set(zip(out["id_a"], out["id_b"]))
+
+
+def test_upsert_new_wins_old_kept():
+    old = rd.from_items([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    new = rd.from_items([{"k": 2, "v": "B"}, {"k": 3, "v": "C"}])
+    out = upsert(old, new, ["k"]).to_pandas().sort_values("k")
+    assert list(out["k"]) == [1, 2, 3]
+    assert list(out["v"]) == ["a", "B", "C"]
+
+
+def test_update_only_drops_new_keys():
+    old = rd.from_items([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    new = rd.from_items([{"k": 2, "v": "B"}, {"k": 3, "v": "C"}])
+    out = update_only(old, new, ["k"]).to_pandas().sort_values("k")
+    assert list(out["k"]) == [1, 2]
+    assert list(out["v"]) == ["a", "B"]
+
+
+def test_multimodal_decode_deterministic():
+    t = synth_media_table(64)
+    a = decode_media(rd.from_arrow(t), concurrency=2, batch_size=16) \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = decode_media(rd.from_arrow(t), concurrency=2, batch_size=16) \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["payload_bytes"] > 0).all()
