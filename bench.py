@@ -56,8 +56,8 @@ def run_bench() -> dict:
     from hyperion_crawler_ray.pipelines.queries import QUERIES
 
     # ---- headline: frontier crawl over the deterministic universe -------
-    n_pages = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 40000}.get(
-        os.path.basename(os.path.normpath(SF_DIR)), 40000)
+    n_pages = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 60000}.get(
+        os.path.basename(os.path.normpath(SF_DIR)), 60000)
     base = f"/tmp/hyperion_bench_{n_pages}"
     corpus = os.path.join(base, "corpus")
     write_universe(corpus, n_pages, use_ray=(n_pages > 20000))
@@ -66,8 +66,11 @@ def run_bench() -> dict:
 
     out_dir = os.path.join(base, f"crawl_cpus{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = CrawlConfig(max_rounds=8, max_per_host_per_round=64,
-                      politeness_window_ms=16000, n_shards=8, n_buckets=16)
+    # few fat rounds: politeness nearly unbinding so per-round compute
+    # (fetch + extract + score + admit) dominates the fixed round cost
+    cfg = CrawlConfig(max_rounds=6, max_per_host_per_round=4096,
+                      politeness_window_ms=1 << 22, n_shards=8, n_buckets=16,
+                      score_pages=True)
 
     t0 = time.perf_counter()
     build_fetch_index(os.path.join(corpus, "pages"),

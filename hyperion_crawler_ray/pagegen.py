@@ -27,6 +27,7 @@ from .functions.extract import extract_text
 from .schema import PAGES_SCHEMA, ROBOTS_SCHEMA, SEEDS_SCHEMA
 
 SEED = 42
+GEN_VERSION = 2  # bump when generator output changes; invalidates caches
 
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
@@ -135,7 +136,7 @@ class PageUniverse:
     def html_of(self, i: int) -> bytes:
         h = _h("body", i)
         title = f"{_VOCAB[h % len(_VOCAB)]} {_VOCAB[(h >> 6) % len(_VOCAB)]} p{i}"
-        n_words = 30 + _h("len", i) % 90
+        n_words = 60 + _h("len", i) % 300
         words = [_VOCAB[_h("w", i, k) % len(_VOCAB)] for k in range(n_words)]
         paras = [" ".join(words[k : k + 18]) for k in range(0, n_words, 18)]
         anchors = "".join(
@@ -239,10 +240,15 @@ def write_universe(out_dir: str, n_pages: int, *, use_ray: bool = True,
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         try:
-            if json.load(open(marker))["n_pages"] == n_pages:
+            meta = json.load(open(marker))
+            if meta["n_pages"] == n_pages and meta.get("gen") == GEN_VERSION:
                 return uni
         except Exception:
             pass
+    # stale/partial output: clear before regenerating (write_parquet
+    # would otherwise append alongside old files)
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "pages"), ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
     import pyarrow.parquet as pq
 
@@ -263,5 +269,5 @@ def write_universe(out_dir: str, n_pages: int, *, use_ray: bool = True,
     pq.write_table(uni.seeds_table(), os.path.join(out_dir, "seeds.parquet"))
     pq.write_table(uni.robots_table(), os.path.join(out_dir, "robots.parquet"))
     with open(marker, "w") as f:
-        json.dump({"n_pages": n_pages, "seed": SEED}, f)
+        json.dump({"n_pages": n_pages, "seed": SEED, "gen": GEN_VERSION}, f)
     return uni

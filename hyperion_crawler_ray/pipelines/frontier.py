@@ -67,6 +67,7 @@ class CrawlConfig:
     link_priority_decay: float = 0.5
     extract_concurrency: int = 4
     extract_batch_size: int = 512
+    score_pages: bool = True  # per-page enrichment at fetch time
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         """Fetches allowed for a host this round: its crawl delay divides
@@ -208,20 +209,38 @@ def _admit_stage(ds: rd.Dataset, robots_ref, shards: SeenShards) -> rd.Dataset:
     )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
-    """html -> (text_extracted, links) per page. Stateless task (the
-    extractor's regexes are compiled once per worker process at module
-    import, which persists across rounds — cheaper than re-spawning an
-    actor pool every round). The emitted text is the engine's own
-    extraction; the byte-identical-per-url invariant is asserted against
-    the corpus golden column in tests."""
+def extract_batch(batch: pa.Table, score: bool = False) -> pa.Table:
+    """html -> (text_extracted, links[, scores]) per page. Stateless task
+    (the extractor's regexes are compiled once per worker process at
+    module import, which persists across rounds — cheaper than
+    re-spawning an actor pool every round). The emitted text is the
+    engine's own extraction; the byte-identical-per-url invariant is
+    asserted against the corpus golden column in tests.
+
+    ``score=True`` additionally runs the per-page enrichment bundle
+    (token counts, quality ratios, simhash fingerprint, language-ID —
+    functions/textstats.py), which is what a production crawl pipeline
+    computes at fetch time; it does not affect crawl semantics."""
     htmls = batch.column("html").to_pylist()
     urls = batch.column("url").to_pylist()
     texts = [extract_text(h) for h in htmls]
     links = [extract_links(h, u) for h, u in zip(htmls, urls)]
     out = batch.drop_columns(["html"])
-    return out.append_column("text_extracted", pa.array(texts, pa.string())) \
-              .append_column("links", pa.array(links, pa.list_(pa.string())))
+    out = out.append_column("text_extracted", pa.array(texts, pa.string())) \
+             .append_column("links", pa.array(links, pa.list_(pa.string())))
+    if score:
+        from ..functions.textstats import score_texts
+
+        scores = score_texts(texts)
+        out = (
+            out.append_column("n_tokens", pa.array(scores["n_tokens"], pa.int64()))
+            .append_column("n_bpe_tokens", pa.array(scores["n_bpe_tokens"], pa.int64()))
+            .append_column("stopword_ratio", pa.array(scores["stopword_ratio"], pa.float64()))
+            .append_column("mean_word_len", pa.array(scores["mean_word_len"], pa.float64()))
+            .append_column("simhash", pa.array(scores["simhash"], pa.uint64()))
+            .append_column("lang_pred", pa.array(list(scores["lang_pred"]), pa.string()))
+        )
+    return out
 
 
 def _explode_links(batch: pa.Table, decay: float) -> pa.Table:
@@ -425,8 +444,9 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     n_fetched = 0
     next_pending = deferred
     if fetched is not None:
+        score = cfg.score_pages
         extracted = fetched.map_batches(
-            extract_batch,
+            lambda b: extract_batch(b, score=score),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
         ).materialize()

@@ -22,12 +22,14 @@ def preagg_sum(ds: rd.Dataset, keys: list[str],
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, as_index=False, sort=False)
-        agg = g.agg(**{out: (src, "sum") for out, src in sums.items()})
+        spec = {out: (src, "sum") for out, src in sums.items()}
         if count_as:
-            agg[count_as] = g.size()["size"].to_numpy()
-        return agg
+            spec[count_as] = (next(iter(sums.values())), "size")
+        return g.agg(**spec)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # big batches: the combiner's value scales with rows-per-batch
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=16384)
     aggs = [Sum(out, alias_name=out) for out in sums]
     if count_as:
         aggs.append(Sum(count_as, alias_name=count_as))
