@@ -67,16 +67,44 @@ def langid(text: str) -> str:
     return best_lang
 
 
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(num_perm: int = 32, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_MH_A, _MH_B = _minhash_params()
+
+
+def minhash_sig(tokens: list[str], k: int = 3) -> np.ndarray:
+    """32-perm MinHash over word k-shingles (near-dup signature stored
+    per crawled page so downstream dedup needs no second text pass)."""
+    if len(tokens) < k:
+        grams = [" ".join(tokens)] if tokens else [""]
+    else:
+        grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+         for g in grams), dtype=np.uint64, count=len(grams))
+    vals = (_MH_A[:, None] * h[None, :] + _MH_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
 def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
     """Full per-page scoring bundle (the crawl's enrichment stage):
     n_tokens, n_bpe_tokens, stopword_ratio, mean_word_len, simhash,
-    lang_pred."""
+    minhash signature, lang_pred."""
     n = len(texts)
     n_tokens = np.empty(n, np.int64)
     n_bpe = np.empty(n, np.int64)
     stop_ratio = np.empty(n, np.float64)
     mean_wlen = np.empty(n, np.float64)
     sims = np.empty(n, np.uint64)
+    minhashes = np.empty(n, object)
     langs = np.empty(n, object)
     for i, s in enumerate(texts):
         toks = s.split()
@@ -90,6 +118,7 @@ def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
             stop_ratio[i] = 0.0
             mean_wlen[i] = 0.0
         sims[i] = np.uint64(simhash64(toks))
+        minhashes[i] = minhash_sig(toks).tolist()
         langs[i] = langid(s)
     return {
         "n_tokens": n_tokens,
@@ -97,5 +126,6 @@ def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
         "stopword_ratio": stop_ratio,
         "mean_word_len": mean_wlen,
         "simhash": sims,
+        "minhash": minhashes,
         "lang_pred": langs,
     }

@@ -68,6 +68,13 @@ class CrawlConfig:
     extract_concurrency: int = 4
     extract_batch_size: int = 512
     score_pages: bool = True  # per-page enrichment at fetch time
+    # Rounds whose pending frontier is at most this many rows run their
+    # control plane (politeness selection, admission dedup/robots/seen)
+    # on the driver over in-memory Arrow instead of paying ~6 Ray Data
+    # executions of fixed latency for trivially small data. Fetch+extract
+    # stays distributed either way. Semantics are identical (same leaf
+    # functions, same sorted per-shard seen calls); 0 disables.
+    driver_small_round_rows: int = 8192
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         """Fetches allowed for a host this round: its crawl delay divides
@@ -238,6 +245,8 @@ def extract_batch(batch: pa.Table, score: bool = False) -> pa.Table:
             .append_column("stopword_ratio", pa.array(scores["stopword_ratio"], pa.float64()))
             .append_column("mean_word_len", pa.array(scores["mean_word_len"], pa.float64()))
             .append_column("simhash", pa.array(scores["simhash"], pa.uint64()))
+            .append_column("minhash", pa.array(list(scores["minhash"]),
+                                               pa.list_(pa.uint64())))
             .append_column("lang_pred", pa.array(list(scores["lang_pred"]), pa.string()))
         )
     return out
@@ -293,7 +302,10 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
     robots_ref = ray.put(robots_idx)
 
     start_round = 0
-    pending: rd.Dataset | None = None
+    # pending is a rd.Dataset (distributed rounds) or pa.Table (driver
+    # fast-path rounds) — dispatched per round on its row count
+    pending: rd.Dataset | pa.Table | None = None
+    n_pend = 0
     shards: SeenShards
     if resume:
         last = -1
@@ -309,47 +321,284 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
                                 restore_dir=os.path.join(rdir, "seen"))
             fdir = os.path.join(rdir, "frontier_next")
             meta = json.load(open(os.path.join(rdir, "meta.json")))
-            pending = rd.read_parquet(fdir) if meta["pending"] > 0 else None
+            n_pend = meta["pending"]
+            if n_pend > 0:
+                import glob as _glob
+                files = sorted(_glob.glob(os.path.join(fdir, "*.parquet")))
+                pending = rd.read_parquet(files)
             start_round = last + 1
-            if meta["pending"] == 0:
+            if n_pend == 0:
                 return _summarize(out_dir, start_round)
         else:
             resume = False
     if not resume:
         shards = SeenShards(cfg.n_shards, cfg.seen_capacity_per_shard)
-        seeds_ds = rd.from_arrow(
-            pa.table({
-                "url": seeds.column("url"),
-                "priority": seeds.column("priority"),
-                "depth": pa.array(np.zeros(seeds.num_rows, np.int32), pa.int32()),
-            })
-        )
-        pending = _ingest(seeds_ds, robots_ref, shards).materialize()
-        if pending.count() == 0:
+        seeds_tbl = pa.table({
+            "url": seeds.column("url"),
+            "priority": seeds.column("priority"),
+            "depth": pa.array(np.zeros(seeds.num_rows, np.int32), pa.int32()),
+        })
+        if cfg.driver_small_round_rows and \
+                seeds.num_rows <= cfg.driver_small_round_rows:
+            new_df = _admit_driver(seeds_tbl, robots_idx, shards)
+            pending = pa.Table.from_pandas(
+                new_df[list(_FRONTIER_COLS)], preserve_index=False) \
+                .cast(_EMPTY_FRONTIER.schema) if len(new_df) else None
+            n_pend = len(new_df)
+        else:
+            ds = _ingest(rd.from_arrow(seeds_tbl), robots_ref,
+                         shards).materialize()
+            n_pend = ds.count()
+            pending = ds if n_pend else None
+        if n_pend == 0:
             pending = None
 
     try:
         for r in range(start_round, cfg.max_rounds):
             if pending is None:
                 break
-            pending = _run_round(r, pending, idx_dir, out_dir, cfg,
-                                 robots_ref, shards)
+            small = (cfg.driver_small_round_rows
+                     and n_pend <= cfg.driver_small_round_rows)
+            if small:
+                if isinstance(pending, rd.Dataset):
+                    batches = list(pending.iter_batches(
+                        batch_format="pyarrow", batch_size=65536))
+                    pending = (pa.concat_tables(batches,
+                                                promote_options="default")
+                               if batches else _EMPTY_FRONTIER)
+                pending = _run_round_small(r, pending, idx_dir, out_dir,
+                                           cfg, robots_idx, shards)
+                n_pend = pending.num_rows if pending is not None else 0
+            else:
+                if isinstance(pending, pa.Table):
+                    pending = rd.from_arrow(pending)
+                pending = _run_round(r, pending, idx_dir, out_dir, cfg,
+                                     robots_ref, shards)
+                n_pend = pending.count() if pending is not None else 0
     finally:
         shards.kill()
     return _summarize(out_dir, cfg.max_rounds)
 
 
-def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
-               cfg: CrawlConfig, robots_ref, shards: SeenShards):
-    t0 = time.perf_counter()
+def _prepare_round_dir(out_dir: str, r: int) -> tuple[str, str]:
     rdir = _round_dir(out_dir, r)
     tmp = rdir + ".tmp"
     if os.path.isdir(tmp):
         import shutil
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
+    return rdir, tmp
+
+
+def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
+                  n_selected: int, n_fetched: int, n_next: int,
+                  order_tbl: pa.Table, shards: SeenShards,
+                  stage_t: dict) -> None:
+    pq.write_table(order_tbl, os.path.join(tmp, "order.parquet"))
+    shards.save(os.path.join(tmp, "seen"))
+    wall_ms = (time.perf_counter() - t0) * 1000
+    lineage = [{"round": r, "stage": "round", "partition": -1,
+                "rows_in": n_pending, "rows_out": n_fetched,
+                "rows_rejected": n_selected - n_fetched,
+                "wall_ms": wall_ms}]
+    pq.write_table(pa.Table.from_pylist(lineage),
+                   os.path.join(tmp, "lineage.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"round": r, "pending": n_next, "selected": n_selected,
+                   "fetched": n_fetched, "wall_ms": wall_ms,
+                   "stages": stage_t}, f)
+    os.rename(tmp, rdir)
+    with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+
+
+def _build_schedule(sched: pd.DataFrame, r: int):
+    """Total crawl order over the bounded schedule -> (sorted frame with
+    seq, order table, url_hash -> (seq, priority, depth) map)."""
+    sched = sched.sort_values(["priority", "hash_hex"],
+                              ascending=[False, True], kind="mergesort")
+    sched = sched.assign(seq=np.arange(len(sched), dtype=np.int64))
+    order_tbl = pa.table({
+        "round": pa.array(np.full(len(sched), r, np.int32), pa.int32()),
+        "seq": pa.array(sched["seq"].to_numpy(), pa.int64()),
+        "url": pa.array(sched["url"].tolist(), pa.string()),
+    })
+    sched_map = {
+        h: (int(s), float(p), int(d))
+        for h, s, p, d in zip(sched["url_hash"], sched["seq"],
+                              sched["priority"], sched["depth"])
+    }
+    return sched, order_tbl, sched_map
+
+
+def _fetch_extract(sched: pd.DataFrame, sched_map: dict, idx_dir: str,
+                   cfg: CrawlConfig):
+    """Distributed fetch (bucketed semi-join against the pages index) +
+    extract/score. Returns a materialized Dataset or None."""
+    buckets = sorted(set(bucket_of_many(list(sched["url_hash"]),
+                                        cfg.n_buckets).tolist()))
+    if not buckets:
+        return None
+    import glob as _glob
+    paths = []
+    for b in buckets:
+        paths.extend(sorted(_glob.glob(
+            os.path.join(idx_dir, f"bucket={b}", "*.parquet"))))
+    if not paths:
+        return None
+    sched_ref = ray.put(sched_map)
+
+    def fetch_filter(batch: pa.Table) -> pa.Table:
+        smap = ray.get(sched_ref)
+        hashes = batch.column("url_hash").to_pylist()
+        keep, seqs, prios, depths = [], [], [], []
+        for h in hashes:
+            hit = smap.get(h)
+            keep.append(hit is not None)
+            if hit is not None:
+                seqs.append(hit[0]); prios.append(hit[1]); depths.append(hit[2])
+        batch = batch.filter(pa.array(keep))
+        return (
+            batch.append_column("seq", pa.array(seqs, pa.int64()))
+            .append_column("priority", pa.array(prios, pa.float64()))
+            .append_column("depth", pa.array(depths, pa.int32()))
+        )
+
+    score = cfg.score_pages
+    # NOTE: the corpus' golden ``text`` column is NOT read — the engine
+    # re-extracts from html (that's the work); reading it would double
+    # the scan bytes for nothing (tests compare against the golden
+    # column by re-reading the corpus directly).
+    return (
+        rd.read_parquet(paths, columns=["url", "url_hash", "host", "lang",
+                                        "html"])
+        .map_batches(fetch_filter, batch_format="pyarrow", batch_size=2048)
+        .map_batches(lambda b: extract_batch(b, score=score),
+                     batch_format="pyarrow",
+                     batch_size=cfg.extract_batch_size)
+        .materialize()
+    )
+
+
+def _pages_from_extracted(t: pa.Table, r: int) -> pa.Table:
+    t = t.drop_columns(["links"])
+    idx = t.schema.get_field_index("text_extracted")
+    return t.rename_columns(
+        ["text" if i == idx else n for i, n in enumerate(t.column_names)]
+    ).append_column("round", pa.array(np.full(t.num_rows, r, np.int32),
+                                      pa.int32()))
+
+
+_EMPTY_FRONTIER = pa.table(
+    {c: pa.array([], t) for c, t in zip(
+        _FRONTIER_COLS,
+        [pa.string(), pa.binary(), pa.string(), pa.string(),
+         pa.float64(), pa.int32()])})
+
+
+def _admit_driver(cand_tbl: pa.Table, robots_idx: RobotsIndex,
+                  shards: SeenShards) -> pd.DataFrame:
+    """Driver-side admission over a BOUNDED candidate table — same
+    semantics as _admit_stage: canonicalize, dedup (max priority, min
+    depth), robots gate, one sorted check_and_insert per shard."""
+    canon = _canonicalize_stage(cand_tbl).to_pandas()
+    canon = canon.sort_values(["hash_hex", "priority", "depth"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    canon = canon.drop_duplicates("hash_hex", keep="first")
+    if len(canon):
+        mask = robots_idx.allowed_mask(canon["host"].to_numpy(dtype=object),
+                                       canon["url"].to_numpy(dtype=object))
+        canon = canon[mask]
+    if not len(canon):
+        return _EMPTY_FRONTIER.to_pandas()
+    shard_ids = shard_of_many(list(canon["url_hash"]), shards.n_shards)
+    canon = canon.assign(__shard=shard_ids)
+    keep_parts = []
+    for s, g in canon.groupby("__shard", sort=True):
+        g = g.sort_values("hash_hex", kind="mergesort")
+        new = ray.get(shards.actors[int(s)]
+                      .check_and_insert.remote(list(g["url_hash"])))
+        part = g[np.asarray(new, dtype=bool)]
+        if len(part):
+            keep_parts.append(part)
+    if not keep_parts:
+        return _EMPTY_FRONTIER.to_pandas()
+    return pd.concat(keep_parts).drop(columns="__shard")
+
+
+def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
+                     out_dir: str, cfg: CrawlConfig, robots_idx: RobotsIndex,
+                     shards: SeenShards):
+    """Driver fast-path for a small round: identical semantics to the
+    distributed path (same leaf functions, same total orders, same
+    one-sorted-call-per-shard seen contract) over in-memory Arrow —
+    only fetch+extract runs as a Ray pipeline. The control data here is
+    bounded by ``driver_small_round_rows``."""
+    t0 = time.perf_counter()
+    rdir, tmp = _prepare_round_dir(out_dir, r)
+    stage_t: dict[str, float] = {"mode": "driver"}
+
+    df = pending_tbl.to_pandas()
+    # politeness selection: per-host top-budget, same sort keys
+    df = df.sort_values(["priority", "hash_hex"],
+                        ascending=[False, True], kind="mergesort")
+    budgets = df["host"].map(
+        lambda h: cfg.host_budget(robots_idx.delay_ms.get(h, 1000)))
+    rank = df.groupby("host", sort=False).cumcount()
+    sel_mask = (rank < budgets).to_numpy()
+    sched = df[sel_mask]
+    deferred = df[~sel_mask]
+    n_pending, n_selected = len(df), len(sched)
+
+    sched, order_tbl, sched_map = _build_schedule(sched, r)
+
+    _t = time.perf_counter()
+    extracted = _fetch_extract(sched, sched_map, idx_dir, cfg)
+    stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
+
+    _t = time.perf_counter()
+    n_fetched = 0
+    new_rows = _EMPTY_FRONTIER.to_pandas()
+    if extracted is not None:
+        ex_tbl = pa.concat_tables(
+            list(extracted.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536)),
+            promote_options="default") if extracted.count() else None
+        if ex_tbl is not None and ex_tbl.num_rows:
+            n_fetched = ex_tbl.num_rows
+            pq_dir = os.path.join(tmp, "pages")
+            os.makedirs(pq_dir, exist_ok=True)
+            pq.write_table(_pages_from_extracted(ex_tbl, r),
+                           os.path.join(pq_dir, "part-0.parquet"))
+            # expand links -> candidates -> admit (driver, same semantics)
+            cand = _explode_links(
+                ex_tbl.select(["url", "links", "priority", "depth"]),
+                cfg.link_priority_decay)
+            new_rows = _admit_driver(cand, robots_idx, shards)
+    stage_t["admit"] = round(time.perf_counter() - _t, 3)
+
+    next_df = pd.concat([deferred, new_rows], ignore_index=True) \
+        if len(new_rows) else deferred.reset_index(drop=True)
+    n_next = len(next_df)
+    next_tbl = pa.Table.from_pandas(
+        next_df[list(_FRONTIER_COLS)], preserve_index=False) \
+        .cast(_EMPTY_FRONTIER.schema) if n_next else _EMPTY_FRONTIER
+    fdir = os.path.join(tmp, "frontier_next")
+    os.makedirs(fdir, exist_ok=True)
+    if n_next:
+        pq.write_table(next_tbl, os.path.join(fdir, "part-0.parquet"))
+
+    _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
+                  n_next, order_tbl, shards, stage_t)
+    return next_tbl if n_next else None
+
+
+def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
+               cfg: CrawlConfig, robots_ref, shards: SeenShards):
+    t0 = time.perf_counter()
+    rdir, tmp = _prepare_round_dir(out_dir, r)
     robots_idx: RobotsIndex = ray.get(robots_ref)
-    lineage: list[dict] = []
 
     # ---- politeness selection: per-host top-budget, groupby(host) shuffle
     delay_ms = robots_idx.delay_ms
@@ -362,10 +611,13 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         df["selected"] = np.arange(len(df)) < b
         return df
 
+    stage_t: dict[str, float] = {}
+    _t = time.perf_counter()
     marked = _as_arrow(
         pending.groupby("host")
         .map_groups(select, batch_format="pandas")
     ).materialize()
+    stage_t["select_shuffle"] = round(time.perf_counter() - _t, 3)
     def _only(flag: bool):
         return lambda t: t.filter(pc.equal(t.column("selected"), flag)) \
                           .select(list(_FRONTIER_COLS))
@@ -376,93 +628,30 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     )
     selected_tbl = (
         pa.concat_tables(selected_batches, promote_options="default")
-        if selected_batches else pa.table(
-            {c: pa.array([], t) for c, t in zip(
-                _FRONTIER_COLS,
-                [pa.string(), pa.binary(), pa.string(), pa.string(),
-                 pa.float64(), pa.int32()])})
+        if selected_batches else _EMPTY_FRONTIER
     )
     deferred = marked.map_batches(_only(False), batch_format="pyarrow")
 
     n_pending = marked.count()
     n_selected = selected_tbl.num_rows
+    stage_t["gather_sched"] = round(time.perf_counter() - _t, 3)
 
-    # ---- crawl order: total order over the bounded schedule
-    sched = selected_tbl.to_pandas()
-    sched = sched.sort_values(["priority", "hash_hex"],
-                              ascending=[False, True], kind="mergesort")
-    sched["seq"] = np.arange(len(sched), dtype=np.int64)
-    order_tbl = pa.table({
-        "round": pa.array(np.full(len(sched), r, np.int32), pa.int32()),
-        "seq": pa.array(sched["seq"].to_numpy(), pa.int64()),
-        "url": pa.array(sched["url"].tolist(), pa.string()),
-    })
-    sched_map = {
-        h: (int(s), float(p), int(d))
-        for h, s, p, d in zip(sched["url_hash"], sched["seq"],
-                              sched["priority"], sched["depth"])
-    }
-    sched_ref = ray.put(sched_map)
+    sched, order_tbl, sched_map = _build_schedule(selected_tbl.to_pandas(), r)
 
-    # ---- fetch: read only the buckets the schedule touches
-    buckets = sorted(set(bucket_of_many(list(sched["url_hash"]),
-                                        cfg.n_buckets).tolist()))
-    fetched = None
-    if buckets:
-        import glob as _glob
-        paths = []
-        for b in buckets:
-            paths.extend(sorted(_glob.glob(
-                os.path.join(idx_dir, f"bucket={b}", "*.parquet"))))
-
-        def fetch_filter(batch: pa.Table) -> pa.Table:
-            smap = ray.get(sched_ref)
-            hashes = batch.column("url_hash").to_pylist()
-            keep, seqs, prios, depths = [], [], [], []
-            for h in hashes:
-                hit = smap.get(h)
-                keep.append(hit is not None)
-                if hit is not None:
-                    seqs.append(hit[0]); prios.append(hit[1]); depths.append(hit[2])
-            batch = batch.filter(pa.array(keep))
-            return (
-                batch.append_column("seq", pa.array(seqs, pa.int64()))
-                .append_column("priority", pa.array(prios, pa.float64()))
-                .append_column("depth", pa.array(depths, pa.int32()))
-            )
-
-        if paths:
-            fetched = (
-                rd.read_parquet(paths,
-                                columns=["url", "url_hash", "host", "lang",
-                                         "html", "text"])
-                .map_batches(fetch_filter, batch_format="pyarrow",
-                             batch_size=2048)
-            )
-
-    # ---- extract text + links (actor pool), write pages, expand frontier
+    _t = time.perf_counter()
+    extracted = _fetch_extract(sched, sched_map, idx_dir, cfg)
     n_fetched = 0
     next_pending = deferred
-    if fetched is not None:
-        score = cfg.score_pages
-        extracted = fetched.map_batches(
-            lambda b: extract_batch(b, score=score),
-            batch_format="pyarrow",
-            batch_size=cfg.extract_batch_size,
-        ).materialize()
+    if extracted is not None:
         n_fetched = extracted.count()
+        stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
+        _t = time.perf_counter()
 
-        def _to_pages(t: pa.Table) -> pa.Table:
-            t = t.drop_columns(["links", "text"])
-            idx = t.schema.get_field_index("text_extracted")
-            return t.rename_columns(
-                ["text" if i == idx else n
-                 for i, n in enumerate(t.column_names)]
-            ).append_column("round", pa.array(
-                np.full(t.num_rows, r, np.int32), pa.int32()))
-
-        extracted.map_batches(_to_pages, batch_format="pyarrow") \
+        extracted.map_batches(lambda t: _pages_from_extracted(t, r),
+                              batch_format="pyarrow") \
             .write_parquet(os.path.join(tmp, "pages"))
+        stage_t["pages_write"] = round(time.perf_counter() - _t, 3)
+        _t = time.perf_counter()
 
         decay = cfg.link_priority_decay
         candidates = extracted.select_columns(
@@ -472,28 +661,19 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         new_rows = _ingest(candidates, robots_ref, shards)
         next_pending = deferred.union(new_rows)
 
+    _t = time.perf_counter()
     next_pending = next_pending.materialize()
     n_next = next_pending.count()
+    stage_t["admit_union"] = round(time.perf_counter() - _t, 3)
+    _t = time.perf_counter()
 
-    # ---- checkpoint the round atomically
     if n_next > 0:
         next_pending.write_parquet(os.path.join(tmp, "frontier_next"))
     else:
         os.makedirs(os.path.join(tmp, "frontier_next"), exist_ok=True)
-    pq.write_table(order_tbl, os.path.join(tmp, "order.parquet"))
-    shards.save(os.path.join(tmp, "seen"))
-    wall_ms = (time.perf_counter() - t0) * 1000
-    lineage.append({"round": r, "stage": "round", "partition": -1,
-                    "rows_in": n_pending, "rows_out": n_fetched,
-                    "rows_rejected": n_selected - n_fetched,
-                    "wall_ms": wall_ms})
-    pq.write_table(pa.Table.from_pylist(lineage), os.path.join(tmp, "lineage.parquet"))
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump({"round": r, "pending": n_next, "selected": n_selected,
-                   "fetched": n_fetched, "wall_ms": wall_ms}, f)
-    os.rename(tmp, rdir)
-    with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
-        f.write("ok")
+    stage_t["checkpoint"] = round(time.perf_counter() - _t, 3)
+    _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
+                  n_next, order_tbl, shards, stage_t)
     return next_pending if n_next > 0 else None
 
 

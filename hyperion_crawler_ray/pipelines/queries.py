@@ -918,6 +918,97 @@ def q_crawl_frontier(sf_dir):
         ["url", "host", "lang", "round", "seq"])
 
 
+def q_daterange_pushdown(sf_dir):
+    """S-3 date-range extract with row-group predicate pushdown at the
+    read (filter expression on the parquet scan, not a post-filter)."""
+    from ..sources.readers import read_date_range
+    import datetime
+
+    ds = read_date_range(os.path.join(sf_dir, "orders.parquet"),
+                         "o_orderdate",
+                         datetime.datetime(1995, 1, 1),
+                         datetime.datetime(1996, 1, 1),
+                         columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    return tr.normalize_date(ds, "o_orderdate", "order_date") \
+             .select_columns(["o_orderkey", "order_date", "o_totalprice"])
+
+
+SQL_DATERANGE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def q_validate_rejects(sf_dir):
+    """S-9 dead-letter side: the REJECT set of the quality gate."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
+    passed, rejected = tr.validate_split(
+        ds, lambda t: pc.less_equal(t.column("l_discount"), 0.05))
+    return rejected
+
+
+SQL_VALIDATE_REJECTS = """
+SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+WHERE NOT (l_discount <= 0.05)
+"""
+
+
+def q_config_pipeline(sf_dir):
+    """§2.10 config-driven pipeline: YAML-shaped step list -> composed
+    lazy Dataset plan via the step registry (with ${ENV} substitution)."""
+    from ..config import build_pipeline
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    steps = [
+        {"step": "whitelist", "col": "event_type",
+         "allowed": ["purchase", "click", "view"]},
+        {"step": "categorical_map", "col": "event_type", "out": "type_score",
+         "mapping": {"purchase": 3, "click": 2, "view": 1}, "default": 0},
+        {"step": "add_metadata", "constants": {"data_source": "${HYPERION_SOURCE:-events}"}},
+        {"step": "filter_fields", "allowed": ["event_id", "type_score",
+                                              "data_source"]},
+    ]
+    return build_pipeline(ds, steps)
+
+
+SQL_CONFIG_PIPELINE = """
+SELECT event_id,
+       CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+            WHEN 'view' THEN 1 ELSE 0 END AS type_score,
+       'events' AS data_source
+FROM events WHERE event_type IN ('purchase', 'click', 'view')
+"""
+
+
+def q_sampled_validation(sf_dir):
+    """O-3 validation sampling (config validation_sampling_rate): run the
+    quality predicate over a seeded random sample. Rows-only (sampling is
+    not SQL-reproducible)."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sample = ds.random_sample(0.1, seed=42)
+    return tr.filter_expr(sample,
+                          lambda t: pc.greater(t.column("l_quantity"), 0.0))
+
+
+def q_marketdata_pipeline(sf_dir):
+    """The reference's flagship E->T->L re-expressed (T-11/T-12/D-1/S-5;
+    pipelines/marketdata.py) over deterministic synthetic raw quotes.
+    Rows-only here; tests/test_marketdata.py holds the value oracle."""
+    import pandas as pd
+
+    from .marketdata import gen_raw_quotes, run_pipeline
+
+    raw = gen_raw_quotes(n_tickers=60, n_days=12)
+    master = pd.DataFrame({
+        "symbol": [f"{t:06d}" for t in range(0, 60, 2)],
+        "uuid": [f"preseeded-{t}" for t in range(0, 60, 2)],
+    })
+    return run_pipeline(raw, master)
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -961,7 +1052,12 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "embedding_stats": q_embedding_stats,
+    "daterange_pushdown": q_daterange_pushdown,
+    "validate_rejects": q_validate_rejects,
+    "config_pipeline": q_config_pipeline,
     # rows-only (non-SQL-expressible)
+    "sampled_validation": q_sampled_validation,
+    "marketdata_pipeline": q_marketdata_pipeline,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -1013,4 +1109,7 @@ ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_stats": SQL_EMBEDDING_STATS,
+    "daterange_pushdown": SQL_DATERANGE,
+    "validate_rejects": SQL_VALIDATE_REJECTS,
+    "config_pipeline": SQL_CONFIG_PIPELINE,
 }

@@ -1,0 +1,27 @@
+"""Pruned readers (SURVEY.md §2.1 S-1/S-3).
+
+Column pruning + row-group predicate pushdown at the read — the S-3
+date-range extract (reference api/src/etl/dart/extractor.py:19-50,
+``get_filing_date_range`` api/src/etl/base/extractor.py:102-117) becomes
+a pyarrow dataset filter expression passed to ``read_parquet`` so only
+matching row groups leave storage.
+"""
+
+from __future__ import annotations
+
+import pyarrow.dataset as pads
+import ray.data as rd
+
+
+def read_date_range(path: str, ts_col: str, start, end,
+                    columns: list[str] | None = None) -> rd.Dataset:
+    """Rows with ``start <= ts_col < end``; filter pushed to the scan."""
+    expr = (pads.field(ts_col) >= start) & (pads.field(ts_col) < end)
+    return rd.read_parquet(path, columns=columns, filter=expr)
+
+
+def read_keyed(path: str, key_col: str, values: list,
+               columns: list[str] | None = None) -> rd.Dataset:
+    """Key-whitelist scan (D-4 at the read instead of post-filter)."""
+    expr = pads.field(key_col).isin(values)
+    return rd.read_parquet(path, columns=columns, filter=expr)

@@ -152,6 +152,18 @@ def filter_expr(ds: rd.Dataset, mask_fn) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def validate_split(ds: rd.Dataset, mask_fn) -> tuple[rd.Dataset, rd.Dataset]:
+    """S-9 dead-letter routing (reference error rows -> first-10 error
+    list + dead_letter_queue config, api/src/etl/base/loader.py:24-59,
+    api/src/config/etl_config.yaml:143): rows passing ``mask_fn`` and the
+    reject set, as two lazy datasets over the same parent."""
+    passed = filter_expr(ds, mask_fn)
+    import pyarrow.compute as _pc
+
+    rejected = filter_expr(ds, lambda t: _pc.invert(mask_fn(t)))
+    return passed, rejected
+
+
 def whitelist(ds: rd.Dataset, col: str, allowed: list) -> rd.Dataset:
     """D-4 whitelist intersect (reference api/src/etl/krx/extractor.py:113-115):
     ``pc.is_in`` filter."""

@@ -84,6 +84,23 @@ def test_seen_state_matches_oracle(crawl_result, oracle_result):
         assert ecf.count == ocf.count
 
 
+def test_distributed_path_equals_driver_path(corpus, crawl_result):
+    """Forcing every round through the distributed path
+    (driver_small_round_rows=0) must give identical order/pages to the
+    default (which fast-paths small rounds on the driver)."""
+    seeds, robots = _fixtures(corpus)
+    out3 = os.path.join(corpus, "crawl_distributed")
+    shutil.rmtree(out3, ignore_errors=True)
+    cfg0 = CrawlConfig(**{**CFG.__dict__, "driver_small_round_rows": 0})
+    crawl(os.path.join(corpus, "corpus", "pages"), out3, cfg0, seeds, robots)
+    out_full, _ = crawl_result
+    assert _engine_order(out3) == _engine_order(out_full)
+    p3 = read_crawl_pages(out3).to_pandas().sort_values("url")
+    pf = read_crawl_pages(out_full).to_pandas().sort_values("url")
+    assert list(p3["url"]) == list(pf["url"])
+    assert list(p3["text"]) == list(pf["text"])
+
+
 def test_kill_resume_equality(corpus, crawl_result, oracle_result):
     """Stop after 2 rounds, resume to 4 — identical order/pages/seen as
     the uninterrupted run."""
