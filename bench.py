@@ -65,8 +65,8 @@ def run_bench() -> dict:
     from hyperion_crawler_ray.pipelines.queries import QUERIES
 
     # ---- headline: frontier crawl over the deterministic universe -------
-    n_pages = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 60000}.get(
-        os.path.basename(os.path.normpath(SF_DIR)), 60000)
+    n_pages = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 120000}.get(
+        os.path.basename(os.path.normpath(SF_DIR)), 120000)
     base = f"/tmp/hyperion_bench_{n_pages}"
     corpus = os.path.join(base, "corpus")
     write_universe(corpus, n_pages, use_ray=(n_pages > 20000))
@@ -77,9 +77,9 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     # few fat rounds: politeness nearly unbinding so per-round compute
     # (fetch + extract + score + admit) dominates the fixed round cost
-    cfg = CrawlConfig(max_rounds=6, max_per_host_per_round=4096,
+    cfg = CrawlConfig(max_rounds=7, max_per_host_per_round=4096,
                       politeness_window_ms=1 << 22, n_shards=16, n_buckets=16,
-                      score_pages=True)
+                      score_pages=True, driver_small_round_rows=2048)
 
     t0 = time.perf_counter()
     build_fetch_index(os.path.join(corpus, "pages"),
@@ -105,7 +105,8 @@ def run_bench() -> dict:
 
     # ---- operator suite --------------------------------------------------
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    suite = [] if os.environ.get("GRAFT_SKIP_SUITE") else BENCH_QUERIES
+    for name in suite:
         t0 = time.perf_counter()
         res = QUERIES[name](SF_DIR)
         import pandas as pd
@@ -134,7 +135,9 @@ def run_bench() -> dict:
 
 
 def run_child(ncpus: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpus))
+    # scaling children measure crawl pages/sec only — the operator suite
+    # would triple the wall time without affecting the metric
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpus), GRAFT_SKIP_SUITE="1")
     proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                           env=env, capture_output=True, text=True, check=True,
                           cwd=os.path.dirname(os.path.abspath(__file__)))

@@ -75,6 +75,11 @@ class CrawlConfig:
     # stays distributed either way. Semantics are identical (same leaf
     # functions, same sorted per-shard seen calls); 0 disables.
     driver_small_round_rows: int = 8192
+    # >1 enables two-stage salted politeness selection: per-(host, salt)
+    # partial top-budget, then per-host final top-budget over the
+    # survivors. Same result as unsalted; bounds the rows any one
+    # selection task holds for a hub host at 10^10-frontier scale.
+    politeness_salt: int = 0
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         """Fetches allowed for a host this round: its crawl delay divides
@@ -613,10 +618,55 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
 
     stage_t: dict[str, float] = {}
     _t = time.perf_counter()
-    marked = _as_arrow(
-        pending.groupby("host")
-        .map_groups(select, batch_format="pandas")
-    ).materialize()
+    if cfg.politeness_salt > 1:
+        # Hub-host skew containment (north_rule "salted-key splitting"):
+        # stage 1 takes the per-(host, salt) top-budget — a hub host's
+        # pending rows split across `salt` groups so no single task
+        # holds them all; stage 2 re-ranks the ≤ salt×budget survivors
+        # per host. Equal to unsalted selection because any row in a
+        # host's true top-b is also in its salt-group's top-b.
+        salt_n = cfg.politeness_salt
+
+        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__salt"] = shard_of_many(list(df["url_hash"]), salt_n)
+            return df
+
+        def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+            b = budget_fn(delay_ms.get(df["host"].iloc[0], 1000))
+            df = df.sort_values(["priority", "hash_hex"],
+                                ascending=[False, True], kind="mergesort")
+            df["cand"] = np.arange(len(df)) < b
+            return df
+
+        staged = _as_arrow(
+            pending.map_batches(add_salt, batch_format="pandas")
+            .groupby(["host", "__salt"])
+            .map_groups(partial_top, batch_format="pandas")
+        ).materialize()
+
+        def final_select(df: pd.DataFrame) -> pd.DataFrame:
+            return select(df.drop(columns=["__salt", "cand"]))
+
+        finalists = staged.map_batches(
+            lambda t: t.filter(pc.equal(t.column("cand"), True)),
+            batch_format="pyarrow")
+        marked_cand = _as_arrow(
+            finalists.groupby("host")
+            .map_groups(final_select, batch_format="pandas"))
+        def keep_losers(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("cand"), False)) \
+                 .drop_columns(["__salt", "cand"])
+            return t.append_column(
+                "selected", pa.array([False] * t.num_rows, pa.bool_()))
+
+        losers = staged.map_batches(keep_losers, batch_format="pyarrow")
+        marked = marked_cand.union(losers).materialize()
+    else:
+        marked = _as_arrow(
+            pending.groupby("host")
+            .map_groups(select, batch_format="pandas")
+        ).materialize()
     stage_t["select_shuffle"] = round(time.perf_counter() - _t, 3)
     def _only(flag: bool):
         return lambda t: t.filter(pc.equal(t.column("selected"), flag)) \

@@ -89,7 +89,7 @@ def gen_raw_quotes(n_tickers: int, n_days: int, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows + dup)
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.05)
 class AssetShard:
     """One shard of the AssetMaster lookup-or-create service (ST-1/T-12).
     Holds (symbol -> uuid) for symbols whose hash routes here; mints

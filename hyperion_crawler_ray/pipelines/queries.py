@@ -983,6 +983,59 @@ FROM events WHERE event_type IN ('purchase', 'click', 'view')
 """
 
 
+def q_sliding_window(sf_dir):
+    """Hopping window (2-day window, 1-day slide): every event counted
+    in both covering windows — fan-out + groupby, streaming-safe."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    out = win.sliding_window(ds, "ts", "event_type", "value",
+                             window_days=2, slide_days=1)
+    return _round_col(out, {"sum_value": 2})
+
+
+SQL_SLIDING = """
+SELECT event_type,
+       strftime(date_trunc('day', ts) - (hop.h * INTERVAL 1 DAY),
+                '%Y-%m-%d') AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (SELECT 0 AS h UNION ALL SELECT 1) hop
+GROUP BY event_type, window_start
+"""
+
+
+def q_json_roundtrip(sf_dir):
+    """Multi-format source/sink: documents -> JSON-lines sink -> JSON
+    source -> grouped count (same answer as the parquet path)."""
+    import tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"hyperion_json_{os.path.basename(os.path.normpath(sf_dir))}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .write_json(out_dir)
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.json")))
+    ds = rd.read_json(files)
+    out = agg.preagg_sum(ds, ["lang"], {"sum_chars": "n_chars"},
+                         count_as="n")
+    return out
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n
+FROM documents GROUP BY lang
+"""
+
+
+def q_bpe_token_count(sf_dir):
+    """BPE-ish token estimate (GPT-2-style pre-tokenizer regex)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tx.bpe_ish_token_count(ds, "text") \
+             .select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_sampled_validation(sf_dir):
     """O-3 validation sampling (config validation_sampling_rate): run the
     quality predicate over a seeded random sample. Rows-only (sampling is
@@ -1055,7 +1108,10 @@ QUERIES = {
     "daterange_pushdown": q_daterange_pushdown,
     "validate_rejects": q_validate_rejects,
     "config_pipeline": q_config_pipeline,
+    "sliding_window": q_sliding_window,
+    "json_roundtrip": q_json_roundtrip,
     # rows-only (non-SQL-expressible)
+    "bpe_token_count": q_bpe_token_count,
     "sampled_validation": q_sampled_validation,
     "marketdata_pipeline": q_marketdata_pipeline,
     "minhash_lsh": q_minhash_lsh,
@@ -1112,4 +1168,6 @@ ORACLE_SQL = {
     "daterange_pushdown": SQL_DATERANGE,
     "validate_rejects": SQL_VALIDATE_REJECTS,
     "config_pipeline": SQL_CONFIG_PIPELINE,
+    "sliding_window": SQL_SLIDING,
+    "json_roundtrip": SQL_JSON_ROUNDTRIP,
 }

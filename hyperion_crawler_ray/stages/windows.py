@@ -30,6 +30,35 @@ def tumbling_window(ds: rd.Dataset, ts_col: str, key: str, value: str,
     )
 
 
+def sliding_window(ds: rd.Dataset, ts_col: str, key: str, value: str,
+                   window_days: int = 2, slide_days: int = 1) -> rd.Dataset:
+    """Sliding/hopping window: each event lands in
+    ``window_days / slide_days`` overlapping windows. Implemented as a
+    per-batch fan-out (one row per covering window) + groupby — no
+    cross-row state needed, so it streams."""
+    n_hops = window_days // slide_days
+
+    def fanout(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, ts_col, value]].copy()
+        day = df[ts_col].dt.floor(f"{slide_days}D")
+        parts = []
+        for hop in range(n_hops):
+            p = df.copy()
+            p["window_start"] = (day - pd.Timedelta(days=hop * slide_days)) \
+                .dt.strftime("%Y-%m-%d")
+            parts.append(p)
+        allp = pd.concat(parts, ignore_index=True)
+        g = allp.groupby([key, "window_start"], as_index=False, sort=False)
+        return g.agg(n=(value, "size"), sum_value=(value, "sum"))
+
+    return (
+        ds.map_batches(fanout, batch_format="pandas")
+        .groupby([key, "window_start"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value", alias_name="sum_value"))
+    )
+
+
 def session_windows(ds: rd.Dataset, ts_col: str, key: str,
                     gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per key: a new session starts when the gap to the

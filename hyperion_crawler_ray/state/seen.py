@@ -39,11 +39,13 @@ def shard_of_many(digests: list[bytes], n_shards: int) -> np.ndarray:
     return v % n_shards
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.05)
 class SeenShard:
-    """One shard of the URL-seen filter. ``num_cpus=0.25`` so a 16-shard
-    pool coexists with the data-plane stages on one node; on a real
-    cluster shards spread across nodes automatically."""
+    """One shard of the URL-seen filter. Near-zero CPU reservation: a
+    shard works for milliseconds once per round, and reserving real
+    cores deadlocks small clusters (16 shards x 0.25 cpu consumed ALL of
+    a 4-cpu cluster, so no data task could ever schedule — observed).
+    On a real cluster shards spread across nodes automatically."""
 
     def __init__(self, capacity: int, shard_id: int,
                  restore_path: str | None = None):

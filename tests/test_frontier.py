@@ -101,6 +101,22 @@ def test_distributed_path_equals_driver_path(corpus, crawl_result):
     assert list(p3["text"]) == list(pf["text"])
 
 
+def test_salted_selection_equals_unsalted(corpus, crawl_result):
+    """politeness_salt>1 (hub-host skew containment) must not change the
+    crawl: two-stage top-k == plain per-host top-k."""
+    seeds, robots = _fixtures(corpus)
+    out4 = os.path.join(corpus, "crawl_salted")
+    shutil.rmtree(out4, ignore_errors=True)
+    cfg_s = CrawlConfig(**{**CFG.__dict__, "driver_small_round_rows": 0,
+                           "politeness_salt": 4})
+    crawl(os.path.join(corpus, "corpus", "pages"), out4, cfg_s, seeds, robots)
+    out_full, _ = crawl_result
+    assert _engine_order(out4) == _engine_order(out_full)
+    p4 = read_crawl_pages(out4).to_pandas().sort_values("url")
+    pf = read_crawl_pages(out_full).to_pandas().sort_values("url")
+    assert list(p4["url"]) == list(pf["url"])
+
+
 def test_kill_resume_equality(corpus, crawl_result, oracle_result):
     """Stop after 2 rounds, resume to 4 — identical order/pages/seen as
     the uninterrupted run."""
