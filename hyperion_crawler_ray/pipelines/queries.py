@@ -1036,6 +1036,31 @@ def q_bpe_token_count(sf_dir):
              .select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def q_weekend_rollback(sf_dir):
+    """T-20 trade-date weekend rollback (Sat/Sun -> preceding Friday)."""
+    from ..functions.dates import roll_back_weekend
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        rolled = roll_back_weekend(t.column("o_orderdate"))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "trade_date": pc.strftime(rolled, format="%Y-%m-%d"),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_WEEKEND = """
+SELECT o_orderkey,
+       strftime(o_orderdate - (CASE WHEN isodow(o_orderdate) > 5
+                 THEN isodow(o_orderdate) - 5 ELSE 0 END) * INTERVAL 1 DAY,
+                '%Y-%m-%d') AS trade_date
+FROM orders
+"""
+
+
 def q_sampled_validation(sf_dir):
     """O-3 validation sampling (config validation_sampling_rate): run the
     quality predicate over a seeded random sample. Rows-only (sampling is
@@ -1110,6 +1135,7 @@ QUERIES = {
     "config_pipeline": q_config_pipeline,
     "sliding_window": q_sliding_window,
     "json_roundtrip": q_json_roundtrip,
+    "weekend_rollback": q_weekend_rollback,
     # rows-only (non-SQL-expressible)
     "bpe_token_count": q_bpe_token_count,
     "sampled_validation": q_sampled_validation,
@@ -1170,4 +1196,5 @@ ORACLE_SQL = {
     "config_pipeline": SQL_CONFIG_PIPELINE,
     "sliding_window": SQL_SLIDING,
     "json_roundtrip": SQL_JSON_ROUNDTRIP,
+    "weekend_rollback": SQL_WEEKEND,
 }
