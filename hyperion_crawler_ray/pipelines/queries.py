@@ -836,6 +836,38 @@ def q_multimodal_decode(sf_dir):
     return decode_media(ds, concurrency=2, batch_size=64)
 
 
+def q_multimodal_resize(sf_dir):
+    """Multimodal decode -> thumbnail-resize actor-pool chain."""
+    from ..stages.multimodal import media_pipeline, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(400))
+    return media_pipeline(ds, concurrency=2)
+
+
+def q_frame_sample(sf_dir):
+    """Video frame sampling: one row per sampled frame (fan-out stage)."""
+    from ..stages.multimodal import FrameSample, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(300))
+    vids = ds.filter(expr="media_type == 'video'")
+    return vids.map_batches(FrameSample, batch_format="pyarrow",
+                            batch_size=64, concurrency=2, num_cpus=0.5)
+
+
+def q_crawl_lineage(sf_dir):
+    """S-4/monitoring parity: per-round lineage + metrics of the crawl
+    (task-log analog: counts per stage boundary, wall time)."""
+    import glob as _glob
+
+    n, base = _crawl_dirs(sf_dir)
+    out_dir = os.path.join(base, "crawl_q")
+    if not os.path.isdir(os.path.join(out_dir, "rounds")):
+        q_crawl_frontier(sf_dir)  # produce the crawl if not present
+    files = sorted(_glob.glob(os.path.join(out_dir, "rounds", "*",
+                                           "lineage.parquet")))
+    return rd.read_parquet(files)
+
+
 def _universe_scale(sf_dir: str) -> int:
     name = os.path.basename(os.path.normpath(sf_dir))
     return {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 20000}.get(name, 2000)
@@ -1147,9 +1179,12 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "langid_heuristic": q_langid_heuristic,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "frame_sample": q_frame_sample,
     "url_canonicalize": q_url_canonicalize,
     "extract_text": q_extract_text,
     "crawl_frontier": q_crawl_frontier,
+    "crawl_lineage": q_crawl_lineage,
 }
 
 ORACLE_SQL = {

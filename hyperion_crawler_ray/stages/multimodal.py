@@ -83,6 +83,75 @@ def decode_media(ds: rd.Dataset, concurrency: int = 4,
                           num_cpus=0.5)
 
 
+class ResizeImage:
+    """Actor-pool resize stage (thumbnail). Without a codec library the
+    resize is a deterministic fake over the payload hash, but the stage
+    contract — (payload, width, height) in, fixed-size thumbnail bytes +
+    new dims out — is the real plumbing."""
+
+    def __init__(self, max_side: int = 64):
+        self.pil = _try_import_pil()
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        out_w, out_h, thumbs = [], [], []
+        for w, h, feat in zip(ws, hs, batch.column("features").to_pylist()):
+            scale = self.max_side / max(w, h)
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            out_w.append(nw)
+            out_h.append(nh)
+            # fake thumbnail bytes: deterministic, sized nw*nh (capped)
+            need = min(nw * nh, 4096)
+            rep = (feat * (need // max(1, len(feat)) + 1))[:need]
+            thumbs.append(bytes(rep))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "thumb_w": pa.array(out_w, pa.int32()),
+            "thumb_h": pa.array(out_h, pa.int32()),
+            "thumbnail": pa.array(thumbs, pa.binary()),
+        })
+
+
+class FrameSample:
+    """Actor-pool video frame-sampling stage: emits one row per sampled
+    frame (flat output — one input row fans out to ``n_frames``). The
+    decoder is a deterministic fake; the fan-out shape, small batch
+    sizing and schema are the real thing."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, feats = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            d = hashlib.sha1(payload).digest()
+            dur = 1 + d[2] % 120  # fake duration seconds
+            for k in range(self.n_frames):
+                ts = (k * dur) // self.n_frames
+                ids.append(mid)
+                frame_idx.append(ts)
+                feats.append(hashlib.sha1(d + bytes([k])).digest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_ts_s": pa.array(frame_idx, pa.int32()),
+            "frame_features": pa.array(feats, pa.binary()),
+        })
+
+
+def media_pipeline(ds: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
+    """decode -> resize for images; frame-sample for videos. Shows the
+    per-media-type routing: filter by type, process, union."""
+    decoded = decode_media(ds, concurrency=concurrency)
+    images = decoded.filter(expr="media_type != 'video'")
+    thumbs = images.map_batches(ResizeImage, batch_format="pyarrow",
+                                batch_size=64, concurrency=concurrency,
+                                num_cpus=0.5)
+    return thumbs
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rng = np.random.RandomState(seed)
