@@ -40,7 +40,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -474,13 +474,17 @@ def _fetch_extract(sched: pd.DataFrame, sched_map: dict, idx_dir: str,
     # re-extracts from html (that's the work); reading it would double
     # the scan bytes for nothing (tests compare against the golden
     # column by re-reading the corpus directly).
+    # batch_size balances two measured failure modes: 2048 bundled the
+    # small index-file blocks into too-few fat tasks (28 tasks on 32
+    # cpus), while per-block tasks (batch_size=None over ~300-row files)
+    # drowned in per-task overhead at bench scale. 1024 keeps ≥2 tasks
+    # per core per round on every corpus size used here.
     return (
         rd.read_parquet(paths, columns=["url", "url_hash", "host", "lang",
                                         "html"])
-        .map_batches(fetch_filter, batch_format="pyarrow", batch_size=2048)
+        .map_batches(fetch_filter, batch_format="pyarrow", batch_size=1024)
         .map_batches(lambda b: extract_batch(b, score=score),
-                     batch_format="pyarrow",
-                     batch_size=cfg.extract_batch_size)
+                     batch_format="pyarrow", batch_size=1024)
         .materialize()
     )
 
@@ -715,6 +719,10 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     next_pending = next_pending.materialize()
     n_next = next_pending.count()
     stage_t["admit_union"] = round(time.perf_counter() - _t, 3)
+    if os.environ.get("HYPERION_STATS") and extracted is not None:
+        print(f"=== round {r} extract stats ===\n{extracted.stats()}\n"
+              f"=== round {r} admit stats ===\n{next_pending.stats()}",
+              flush=True)
     _t = time.perf_counter()
 
     if n_next > 0:

@@ -26,7 +26,9 @@ def exact_dedup(ds: rd.Dataset, keys: list[str],
 
     Shape: per-batch combiner -> hash-partition into ``num_buckets``
     coarse buckets (hash of the key tuple) -> vectorized dedup per
-    bucket. Grouping by the COARSE bucket instead of the raw key matters:
+    bucket. Size ``num_buckets`` ~ total_rows / desired_partition_rows
+    at scale (each bucket must fit one task's memory); the default 64
+    suits the sandbox tables. Grouping by the COARSE bucket instead of the raw key matters:
     ``map_groups`` pays per-group Python overhead, so at 10^5+ distinct
     keys a per-key grouping is 10-30x slower than per-bucket with a
     pandas ``drop_duplicates`` inside (measured)."""

@@ -7,7 +7,10 @@ api/src/config/etl_config.yaml:143).
 
 The robots table is tiny relative to the frontier (one row per host), so
 per SURVEY §2.4 it is broadcast once via ``ray.put`` and applied inside
-``map_batches`` — no shuffle.
+``map_batches`` — no shuffle. Scale note: at 10^8+ hosts the broadcast
+dict would be sharded by ``hash(host)`` into the same actor topology as
+the seen filter (state/seen.py); only hosts WITH disallow rules need
+entries, which keeps the broadcast viable far longer.
 """
 
 from __future__ import annotations
