@@ -1068,6 +1068,17 @@ def q_bpe_token_count(sf_dir):
              .select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def q_hll_distinct(sf_dir):
+    """HyperLogLog approximate distinct users per event_type (mergeable
+    sketch combiner; deterministic estimate at any parallelism).
+    Rows-only: the estimate is approximate by design — accuracy vs exact
+    distinct is asserted in tests/test_sketches.py."""
+    from ..stages.sketches import hll_distinct
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id")
+
+
 def q_weekend_rollback(sf_dir):
     """T-20 trade-date weekend rollback (Sat/Sun -> preceding Friday)."""
     from ..functions.dates import roll_back_weekend
@@ -1170,6 +1181,7 @@ QUERIES = {
     "weekend_rollback": q_weekend_rollback,
     # rows-only (non-SQL-expressible)
     "bpe_token_count": q_bpe_token_count,
+    "hll_distinct": q_hll_distinct,
     "sampled_validation": q_sampled_validation,
     "marketdata_pipeline": q_marketdata_pipeline,
     "minhash_lsh": q_minhash_lsh,
