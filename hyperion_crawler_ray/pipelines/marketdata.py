@@ -219,4 +219,11 @@ def run_pipeline(raw: pa.Table, asset_master: pd.DataFrame,
                      ["trade_date", "symbol"], [True, True])
     if existing_snapshot is not None:
         ds = upsert(existing_snapshot, ds, ["uuid", "trade_date"])
+    # materialize before killing the asset shards — the plan is lazy and
+    # the actors must exist while it executes; without this the actors
+    # would leak into the caller's session (driver runs many queries in
+    # one session)
+    ds = ds.materialize()
+    for a in actors:
+        ray.kill(a)
     return ds
