@@ -65,6 +65,15 @@ def test_crawl_order_matches_oracle(crawl_result, oracle_result):
     assert _engine_order(out) == sorted(oracle_result["order"])
 
 
+def test_pages_carry_scoring_columns(crawl_result):
+    """score_pages=True (default): every crawled page carries the
+    enrichment bundle (tokens, quality, simhash, minhash, langid)."""
+    out, _ = crawl_result
+    cols = set(read_crawl_pages(out).schema().names)
+    assert {"n_tokens", "n_bpe_tokens", "stopword_ratio", "mean_word_len",
+            "simhash", "minhash", "lang_pred"} <= cols
+
+
 def test_pages_and_text_match_oracle(crawl_result, oracle_result):
     out, summary = crawl_result
     pages = read_crawl_pages(out).to_pandas()
