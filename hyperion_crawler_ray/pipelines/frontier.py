@@ -314,9 +314,14 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
     shards: SeenShards
     if resume:
         last = -1
+        import re as _re
         rounds_root = os.path.join(out_dir, "rounds")
         if os.path.isdir(rounds_root):
             for name in sorted(os.listdir(rounds_root)):
+                # a mid-round kill leaves 'round=NNNN.tmp' dirs here; only
+                # complete 'round=NNNN' names are candidates
+                if not _re.fullmatch(r"round=\d{4}", name):
+                    continue
                 r = int(name.split("=")[1])
                 if os.path.exists(os.path.join(rounds_root, name, "_SUCCESS")):
                     last = max(last, r)
@@ -333,6 +338,7 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
                 pending = rd.read_parquet(files)
             start_round = last + 1
             if n_pend == 0:
+                shards.kill()  # nothing to resume — don't leak shard actors
                 return _summarize(out_dir, start_round)
         else:
             resume = False
@@ -672,6 +678,7 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
             .map_groups(select, batch_format="pandas")
         ).materialize()
     stage_t["select_shuffle"] = round(time.perf_counter() - _t, 3)
+    _t = time.perf_counter()
     def _only(flag: bool):
         return lambda t: t.filter(pc.equal(t.column("selected"), flag)) \
                           .select(list(_FRONTIER_COLS))

@@ -126,6 +126,51 @@ def test_salted_selection_equals_unsalted(corpus, crawl_result):
     assert list(p4["url"]) == list(pf["url"])
 
 
+def test_resume_after_midround_kill(corpus, crawl_result):
+    """A kill mid-round leaves a 'round=NNNN.tmp' dir inside rounds/;
+    resume must skip it (not crash parsing the name) and replay the round
+    to the same final state."""
+    seeds, robots = _fixtures(corpus)
+    pages_path = os.path.join(corpus, "corpus", "pages")
+    out5 = os.path.join(corpus, "crawl_midkill")
+    shutil.rmtree(out5, ignore_errors=True)
+    partial = CrawlConfig(**{**CFG.__dict__, "max_rounds": 2})
+    crawl(pages_path, out5, partial, seeds, robots)
+    # simulate the mid-round kill artifact
+    leftover = os.path.join(out5, "rounds", "round=0002.tmp")
+    os.makedirs(leftover, exist_ok=True)
+    with open(os.path.join(leftover, "garbage.bin"), "wb") as f:
+        f.write(b"partial")
+    crawl(pages_path, out5, CFG, seeds, robots, resume=True)
+    out_full, _ = crawl_result
+    assert _engine_order(out5) == _engine_order(out_full)
+
+
+def test_resume_completed_crawl_no_actor_leak(corpus, crawl_result):
+    """Resuming an already-finished crawl (pending==0) returns the summary
+    AND kills the restored seen-shard actors instead of leaking them."""
+    import ray
+
+    def n_alive_shards() -> int:
+        return sum(1 for a in ray._private.state.actors().values()
+                   if a.get("ActorClassName") == "SeenShard"
+                   and a.get("State") == "ALIVE")
+
+    seeds, robots = _fixtures(corpus)
+    out_full, summary = crawl_result
+    n_before = n_alive_shards()
+    again = crawl(os.path.join(corpus, "corpus", "pages"), out_full, CFG,
+                  seeds, robots, resume=True)
+    assert again["fetched"] == summary["fetched"]
+    import time as _time
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        if n_alive_shards() <= n_before:
+            break
+        _time.sleep(0.25)
+    assert n_alive_shards() <= n_before
+
+
 def test_kill_resume_equality(corpus, crawl_result, oracle_result):
     """Stop after 2 rounds, resume to 4 — identical order/pages/seen as
     the uninterrupted run."""
