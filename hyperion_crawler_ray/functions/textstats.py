@@ -1,18 +1,27 @@
 """Pure per-text scoring kernels shared by the crawl extract stage and
 the standalone text-analysis operators: token counts, quality ratios,
-SimHash fingerprint, letter-frequency language heuristic.
+SimHash fingerprint, MinHash signature, letter-frequency language
+heuristic.
 
 Kept Ray-free (like urlnorm/extract) so the oracle and unit tests can
 call them directly; the batch wrappers in stages/text.py and the crawl's
 extract+score stage (pipelines/frontier.py) both delegate here.
+
+Round-2: the per-token Python md5 loops (the #2/#4 suite costs at
+sf0.1) are replaced by the vectorized batch kernels in
+functions/hashing.py — one Arrow split + one hash_array call + reduceat
+aggregations per batch.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import hashing as H
 
 STOPWORDS = frozenset(("the", "and", "of", "a", "to", "in", "data"))
 
@@ -28,23 +37,33 @@ _LANG_PROFILES = {
 _PROFILES = {lang: {c: i for i, c in enumerate(p)}
              for lang, p in _LANG_PROFILES.items()}
 
-_SHIFTS = np.arange(64, dtype=np.uint64)
-_ONE = np.uint64(1)
+_MH_A, _MH_B = H.minhash_params(32)
+_STOP_ARR = pa.array(sorted(STOPWORDS), pa.string())
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over tokens (md5 token hashes, +/-1 bit votes)."""
-    votes = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
-                                     "little"))
-        bits = (h >> _SHIFTS) & _ONE
-        votes += np.where(bits == 1, 1, -1)
-    sig = 0
-    for bi in range(64):
-        if votes[bi] > 0:
-            sig |= 1 << bi
-    return sig
+    """64-bit SimHash over a token list (majority-bit votes of per-token
+    hashes). Thin per-doc wrapper over the batch kernel — single source
+    of truth with the crawl scoring stage."""
+    if not tokens:
+        return 0
+    import pandas as pd
+    hs = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    offs = np.array([0, len(hs)], dtype=np.int64)
+    return int(H.simhash_from_tokens(hs, offs)[0])
+
+
+def minhash_sig(tokens: list[str], k: int = 3) -> np.ndarray:
+    """32-perm MinHash over word k-shingles (near-dup signature stored
+    per crawled page so downstream dedup needs no second text pass)."""
+    import pandas as pd
+    if tokens:
+        hs = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    else:
+        hs = np.empty(0, np.uint64)
+    offs = np.array([0, len(hs)], dtype=np.int64)
+    sh = H.shingle_hashes_from_tokens(hs, offs, k)[0]
+    return H.minhash_from_shingles(sh, _MH_A, _MH_B)
 
 
 def langid(text: str) -> str:
@@ -67,61 +86,44 @@ def langid(text: str) -> str:
     return best_lang
 
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
-def _minhash_params(num_perm: int = 32, seed: int = 7):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    return a, b
-
-
-_MH_A, _MH_B = _minhash_params()
-
-
-def minhash_sig(tokens: list[str], k: int = 3) -> np.ndarray:
-    """32-perm MinHash over word k-shingles (near-dup signature stored
-    per crawled page so downstream dedup needs no second text pass)."""
-    if len(tokens) < k:
-        grams = [" ".join(tokens)] if tokens else [""]
-    else:
-        grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-    h = np.fromiter(
-        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-         for g in grams), dtype=np.uint64, count=len(grams))
-    vals = (_MH_A[:, None] * h[None, :] + _MH_B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
-
-
 def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
     """Full per-page scoring bundle (the crawl's enrichment stage):
     n_tokens, n_bpe_tokens, stopword_ratio, mean_word_len, simhash,
-    minhash signature, lang_pred."""
+    minhash signature, lang_pred. One tokenize + hash pass per batch;
+    only the BPE regex and the langid letter-count remain per-doc."""
     n = len(texts)
-    n_tokens = np.empty(n, np.int64)
-    n_bpe = np.empty(n, np.int64)
-    stop_ratio = np.empty(n, np.float64)
-    mean_wlen = np.empty(n, np.float64)
-    sims = np.empty(n, np.uint64)
+    col = pa.array(texts, pa.string())
+    tok_hashes, offs, toks = H.tokenize_batch(col, return_tokens=True)
+    counts = (offs[1:] - offs[:-1]).astype(np.int64)
+
+    # stopword ratio + mean word length: flat-token Arrow kernels +
+    # one reduceat each over the doc runs
+    stop_ratio = np.zeros(n, np.float64)
+    mean_wlen = np.zeros(n, np.float64)
+    nonempty = counts > 0
+    if len(tok_hashes):
+        is_stop = pc.is_in(toks, value_set=_STOP_ARR).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tlens = pc.utf8_length(toks).to_numpy().astype(np.int64)
+        starts = offs[:-1][nonempty]
+        stop_ratio[nonempty] = np.round(
+            np.add.reduceat(is_stop, starts) / counts[nonempty], 6)
+        mean_wlen[nonempty] = np.round(
+            np.add.reduceat(tlens, starts) / counts[nonempty], 6)
+
+    sims = H.simhash_from_tokens(tok_hashes, offs)
     minhashes = np.empty(n, object)
+    for i, sig in enumerate(H.minhash_batch(tok_hashes, offs, _MH_A, _MH_B)):
+        minhashes[i] = sig.tolist()
+
+    n_bpe = np.fromiter((len(_BPE_RE.findall(s)) for s in texts),
+                        dtype=np.int64, count=n)
     langs = np.empty(n, object)
     for i, s in enumerate(texts):
-        toks = s.split()
-        nt = len(toks)
-        n_tokens[i] = nt
-        n_bpe[i] = len(_BPE_RE.findall(s))
-        if nt:
-            stop_ratio[i] = round(sum(t in STOPWORDS for t in toks) / nt, 6)
-            mean_wlen[i] = round(sum(len(t) for t in toks) / nt, 6)
-        else:
-            stop_ratio[i] = 0.0
-            mean_wlen[i] = 0.0
-        sims[i] = np.uint64(simhash64(toks))
-        minhashes[i] = minhash_sig(toks).tolist()
         langs[i] = langid(s)
+
     return {
-        "n_tokens": n_tokens,
+        "n_tokens": counts,
         "n_bpe_tokens": n_bpe,
         "stopword_ratio": stop_ratio,
         "mean_word_len": mean_wlen,

@@ -701,17 +701,17 @@ def q_ngram_jaccard(sf_dir):
         batch_format="pandas")
     joined = jn.hash_join(left, right, on="join_id", num_partitions=8)
 
-    def jac(df: pd.DataFrame) -> pd.DataFrame:
-        sims = []
-        for a, b in zip(df["text"], df["text_b"]):
+    def jac(t: pa.Table) -> pa.Table:
+        sims = np.empty(t.num_rows, np.float64)
+        for i, (a, b) in enumerate(zip(t.column("text").to_pylist(),
+                                       t.column("text_b").to_pylist())):
             sa, sb = set(a.split()), set(b.split())
             u = len(sa | sb)
-            sims.append(round(len(sa & sb) / u, 6) if u else 1.0)
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "jaccard": np.asarray(sims, dtype=np.float64)})
+            sims[i] = len(sa & sb) / u if u else 1.0
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "jaccard": _rnd(pa.array(sims, pa.float64()), 6)})
 
-    return joined.map_batches(jac, batch_format="pandas") \
-                 .map_batches(lambda t: t, batch_format="pyarrow")
+    return joined.map_batches(jac, batch_format="pyarrow")
 
 
 SQL_NGRAM_JACCARD = """
@@ -791,8 +791,7 @@ def q_minhash_lsh(sf_dir):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     sigs = dd.minhash_signatures(ds, "text", "doc_id", num_perm=64)
     pairs = dd.lsh_candidate_pairs(sigs, "doc_id", bands=16)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"]).to_pandas()
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
     return dd.jaccard_verify(pairs, docs, "doc_id", "text", threshold=0.5)
 
 

