@@ -28,9 +28,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
-    "pricing_summary", "derived_cols", "dedup_first_wins", "latest_per_key",
+    "pricing_summary", "nested_derived", "dedup_first_wins", "latest_per_key",
     "hash_join", "broadcast_join", "grouped_preagg", "upsert_merge",
-    "tumbling_window", "session_window", "exact_dedup_docs", "quality_score",
+    "windows", "session_window", "exact_dedup_docs", "quality_score",
     "token_count", "minhash_lsh", "simhash", "ann_topk", "ngram_jaccard",
 ]
 

@@ -36,11 +36,13 @@ def test_query_matches_oracle(name, con):
 def test_rows_only_queries_run(name):
     got = to_pandas(QUERIES[name](SF_DIR))
     assert len(got) >= 0
-    if name in ("simhash", "rolling_fingerprint", "langid_heuristic"):
+    if name in ("simhash", "text_scores"):
         assert len(got) == 500  # one row per document
-    if name == "multimodal_decode":
-        assert set(got.columns) >= {"media_id", "width", "height", "features"}
-    if name == "url_canonicalize":
+    if name == "multimodal_pipeline":
+        assert set(got.columns) == {"media_id", "artifact", "meta_a",
+                                    "meta_b", "blob"}
+        assert set(got["artifact"]) == {"thumbnail", "frame"}
+    if name == "crawl_page_functions":
         assert got["canon_url"].notna().all()
-    if name == "extract_text":
+        assert got["canon_roundtrip"].all()
         assert got["byte_identical"].all()
