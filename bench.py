@@ -11,8 +11,9 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
 
 ``--scaling`` mode (north_rule criterion, sandbox protocol per
 BASELINE.md): runs the identical job in two FRESH processes at
-num_cpus=8 and num_cpus=32 and reports pages/sec at both plus
-efficiency = (pps32 / pps8) / 4.
+num_cpus=4 and num_cpus=16 (N and 4N — 8/32 would oversubscribe the
+32-core sandbox with workers + driver + actors, see BASELINE.md) and
+reports pages/sec at both plus efficiency = (pps_4N / pps_N) / 4.
 """
 
 from __future__ import annotations

@@ -94,3 +94,41 @@ def build_pipeline(ds: rd.Dataset, steps: list[dict],
         name = spec.pop("step")
         ds = registry.get(name)(ds, **spec)
     return ds
+
+
+def load_config(path: str) -> dict:
+    """Load a YAML config tree with recursive ${ENV} substitution — the
+    reference's file-level config loading
+    (api/src/services/etl_service.py:45-66 loads etl_config.yaml and
+    env-substitutes before instantiating sources)."""
+    import yaml
+
+    with open(path) as f:
+        tree = yaml.safe_load(f)
+    return substitute_env(tree)
+
+
+def enabled_sources(cfg: dict) -> list[str]:
+    """Source-enable surface (reference api/src/config/etl_config.yaml:4-7:
+    per-source ``enabled`` flags; disabled sources stay registered but
+    are never instantiated)."""
+    return sorted(name for name, sc in cfg.get("sources", {}).items()
+                  if sc.get("enabled", False))
+
+
+def build_from_config(cfg: dict, inputs: dict[str, rd.Dataset],
+                      registry: StepRegistry = DEFAULT_REGISTRY
+                      ) -> dict[str, rd.Dataset]:
+    """Instantiate one pipeline per ENABLED source from a loaded config
+    tree: ``{sources: {name: {enabled: true, steps: [...]}}}``. Inputs
+    maps source name -> its input Dataset; a missing input for an
+    enabled source raises (config error), disabled sources are
+    skipped even when an input is offered."""
+    out: dict[str, rd.Dataset] = {}
+    for name in enabled_sources(cfg):
+        if name not in inputs:
+            raise KeyError(f"enabled source '{name}' has no input dataset")
+        out[name] = build_pipeline(inputs[name],
+                                   cfg["sources"][name].get("steps", []),
+                                   registry)
+    return out

@@ -85,6 +85,13 @@ class CrawlConfig:
     # survivors. Same result as unsalted; bounds the rows any one
     # selection task holds for a hub host at 10^10-frontier scale.
     politeness_salt: int = 0
+    # Application-level retry budget for the fetch/extract stage
+    # (reference workflows/krx_etl_workflow.yaml:41-47: 3 attempts with
+    # exponential backoff on transient errors). fetch_failure_rate > 0
+    # deterministically injects one transient failure per affected
+    # batch — used by the retry/lineage tests; 0 in production.
+    fetch_retry_attempts: int = 3
+    fetch_failure_rate: float = 0.0
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         """Fetches allowed for a host this round: its crawl delay divides
@@ -262,6 +269,47 @@ def extract_batch(batch: pa.Table, score: bool = False) -> pa.Table:
     return out
 
 
+class ExtractWithRetry:
+    """Fetch/extract stage body under the application retry policy
+    (functions/retry.py): a transient batch failure is retried in place
+    with backoff — order-preserving, budgeted — and every output row
+    records how many attempts its batch needed (``fetch_attempts``), so
+    lineage can aggregate retry counters per round (the reference
+    CrawlerTaskLog's items_failed/retry accounting,
+    api/src/models/task_log.py:11-46).
+
+    ``failure_rate`` > 0 injects ONE deterministic transient failure
+    for a batch whose first url_hash falls under the rate — the retry
+    then succeeds, so the crawl result is provably identical to the
+    no-failure run (asserted in tests/test_frontier.py)."""
+
+    def __init__(self, score: bool, attempts: int, failure_rate: float):
+        from ..functions.retry import RetryPolicy
+        self.score = score
+        self.failure_rate = failure_rate
+        self.policy = RetryPolicy(max_attempts=attempts,
+                                  backoff_base_s=0.01)
+        self._failed_once: set[bytes] = set()
+
+    def _base(self, batch: pa.Table) -> pa.Table:
+        from ..functions.retry import TransientError
+        if self.failure_rate > 0 and batch.num_rows:
+            key = batch.column("url_hash")[0].as_py()
+            if key not in self._failed_once:
+                u = int.from_bytes(key[:4], "little") / 2**32
+                if u < self.failure_rate:
+                    self._failed_once.add(key)
+                    raise TransientError("injected transient fetch failure")
+        return extract_batch(batch, score=self.score)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.retry import run_with_retry
+        out, attempts = run_with_retry(self._base, batch, self.policy)
+        return out.append_column(
+            "fetch_attempts",
+            pa.array(np.full(out.num_rows, attempts, np.int32), pa.int32()))
+
+
 def _explode_links(batch: pa.Table, decay: float) -> pa.Table:
     """(url, links, priority, depth) -> one candidate row per link."""
     links = batch.column("links").to_pylist()
@@ -375,22 +423,28 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
                 break
             small = (cfg.driver_small_round_rows
                      and n_pend <= cfg.driver_small_round_rows)
-            if small:
-                if isinstance(pending, rd.Dataset):
-                    batches = list(pending.iter_batches(
-                        batch_format="pyarrow", batch_size=65536))
-                    pending = (pa.concat_tables(batches,
-                                                promote_options="default")
-                               if batches else _EMPTY_FRONTIER)
-                pending = _run_round_small(r, pending, idx_dir, out_dir,
-                                           cfg, robots_idx, shards)
-                n_pend = pending.num_rows if pending is not None else 0
-            else:
-                if isinstance(pending, pa.Table):
-                    pending = rd.from_arrow(pending)
-                pending = _run_round(r, pending, idx_dir, out_dir, cfg,
-                                     robots_ref, shards)
-                n_pend = pending.count() if pending is not None else 0
+            try:
+                if small:
+                    if isinstance(pending, rd.Dataset):
+                        batches = list(pending.iter_batches(
+                            batch_format="pyarrow", batch_size=65536))
+                        pending = (pa.concat_tables(batches,
+                                                    promote_options="default")
+                                   if batches else _EMPTY_FRONTIER)
+                    pending = _run_round_small(r, pending, idx_dir, out_dir,
+                                               cfg, robots_idx, shards)
+                    n_pend = pending.num_rows if pending is not None else 0
+                else:
+                    if isinstance(pending, pa.Table):
+                        pending = rd.from_arrow(pending)
+                    pending = _run_round(r, pending, idx_dir, out_dir, cfg,
+                                         robots_ref, shards)
+                    n_pend = pending.count() if pending is not None else 0
+            except Exception as err:
+                # persist a status=failed task-log record, then re-raise
+                # (the round dir stays .tmp, so resume replays it)
+                _write_failure_record(out_dir, r, err)
+                raise
     finally:
         shards.kill()
     return _summarize(out_dir, cfg.max_rounds)
@@ -409,24 +463,66 @@ def _prepare_round_dir(out_dir: str, r: int) -> tuple[str, str]:
 def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
                   n_selected: int, n_fetched: int, n_next: int,
                   order_tbl: pa.Table | None, shards: SeenShards,
-                  stage_t: dict) -> None:
+                  stage_t: dict, retries: int = 0,
+                  cfg: CrawlConfig | None = None) -> None:
+    from ..schema import LINEAGE_SCHEMA
+
     if order_tbl is not None:  # driver path; distributed rounds write order/
         pq.write_table(order_tbl, os.path.join(tmp, "order.parquet"))
     shards.save(os.path.join(tmp, "seen"))
     wall_ms = (time.perf_counter() - t0) * 1000
-    lineage = [{"round": r, "stage": "round", "partition": -1,
-                "rows_in": n_pending, "rows_out": n_fetched,
-                "rows_rejected": n_selected - n_fetched,
-                "wall_ms": wall_ms}]
-    pq.write_table(pa.Table.from_pylist(lineage),
+    # task-log lifecycle rows (reference CrawlerTaskLog envelope,
+    # api/src/models/task_log.py:11-46): one per stage + round summary
+    lineage = []
+    for stage, secs in stage_t.items():
+        if not isinstance(secs, (int, float)):
+            continue  # e.g. the 'mode' marker
+        lineage.append({
+            "round": r, "task_id": f"r{r:04d}:{stage}", "stage": stage,
+            "status": "success", "rows_in": -1, "rows_out": -1,
+            "rows_rejected": -1, "retries": 0,
+            "wall_ms": round(float(secs) * 1000, 3),
+            "parameters": "{}", "result_summary": "{}"})
+    params = {}
+    if cfg is not None:
+        params = {"max_per_host_per_round": cfg.max_per_host_per_round,
+                  "politeness_window_ms": cfg.politeness_window_ms,
+                  "fetch_retry_attempts": cfg.fetch_retry_attempts}
+    lineage.append({
+        "round": r, "task_id": f"r{r:04d}:round", "stage": "round",
+        "status": "success", "rows_in": n_pending, "rows_out": n_fetched,
+        "rows_rejected": n_selected - n_fetched, "retries": int(retries),
+        "wall_ms": wall_ms, "parameters": json.dumps(params),
+        "result_summary": json.dumps({"selected": n_selected,
+                                      "fetched": n_fetched,
+                                      "pending_next": n_next})})
+    pq.write_table(pa.Table.from_pylist(lineage, schema=LINEAGE_SCHEMA),
                    os.path.join(tmp, "lineage.parquet"))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"round": r, "pending": n_next, "selected": n_selected,
-                   "fetched": n_fetched, "wall_ms": wall_ms,
-                   "stages": stage_t}, f)
+                   "fetched": n_fetched, "retries": int(retries),
+                   "wall_ms": wall_ms, "stages": stage_t}, f)
     os.rename(tmp, rdir)
     with open(os.path.join(rdir, "_SUCCESS"), "w") as f:
         f.write("ok")
+
+
+def _write_failure_record(out_dir: str, r: int, err: BaseException) -> None:
+    """Persist a status=failed task-log row for a round that raised —
+    the reference records failed tasks with their error message
+    (api/src/models/task_log.py 'failed' status + error field)."""
+    from ..schema import LINEAGE_SCHEMA
+
+    fdir = os.path.join(out_dir, "failures")
+    os.makedirs(fdir, exist_ok=True)
+    row = [{"round": r, "task_id": f"r{r:04d}:round", "stage": "round",
+            "status": "failed", "rows_in": -1, "rows_out": -1,
+            "rows_rejected": -1, "retries": 0, "wall_ms": -1.0,
+            "parameters": "{}",
+            "result_summary": json.dumps(
+                {"error": f"{type(err).__name__}: {err}"[:500]})}]
+    pq.write_table(pa.Table.from_pylist(row, schema=LINEAGE_SCHEMA),
+                   os.path.join(fdir, f"round={r:04d}.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -526,11 +622,11 @@ def _fetch_extract_distributed(seq_refs: list, idx_dir: str,
             paths, [rets[int(b)] for rets in split_returns], _FETCH_COLS))
     if not fetch_refs:
         return None
-    score = cfg.score_pages
+    extract_fn = ExtractWithRetry(cfg.score_pages, cfg.fetch_retry_attempts,
+                                  cfg.fetch_failure_rate)
     return (
         rd.from_arrow_refs(fetch_refs)
-        .map_batches(lambda b: extract_batch(b, score=score),
-                     batch_format="pyarrow", batch_size=1024)
+        .map_batches(extract_fn, batch_format="pyarrow", batch_size=1024)
         .materialize()
     )
 
@@ -587,7 +683,8 @@ def _fetch_extract(sched: pd.DataFrame, sched_map: dict, idx_dir: str,
             .append_column("depth", pa.array(depths, pa.int32()))
         )
 
-    score = cfg.score_pages
+    extract_fn = ExtractWithRetry(cfg.score_pages, cfg.fetch_retry_attempts,
+                                  cfg.fetch_failure_rate)
     # NOTE: the corpus' golden ``text`` column is NOT read — the engine
     # re-extracts from html (that's the work); reading it would double
     # the scan bytes for nothing (tests compare against the golden
@@ -601,8 +698,7 @@ def _fetch_extract(sched: pd.DataFrame, sched_map: dict, idx_dir: str,
         rd.read_parquet(paths, columns=["url", "url_hash", "host", "lang",
                                         "html"])
         .map_batches(fetch_filter, batch_format="pyarrow", batch_size=1024)
-        .map_batches(lambda b: extract_batch(b, score=score),
-                     batch_format="pyarrow", batch_size=1024)
+        .map_batches(extract_fn, batch_format="pyarrow", batch_size=1024)
         .materialize()
     )
 
@@ -686,6 +782,7 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
 
     _t = time.perf_counter()
     n_fetched = 0
+    retries = 0
     new_rows = _EMPTY_FRONTIER.to_pandas()
     if extracted is not None:
         ex_tbl = pa.concat_tables(
@@ -694,6 +791,8 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
             promote_options="default") if extracted.count() else None
         if ex_tbl is not None and ex_tbl.num_rows:
             n_fetched = ex_tbl.num_rows
+            retries = int(pc.sum(ex_tbl.column("fetch_attempts")).as_py()
+                          or 0) - n_fetched
             pq_dir = os.path.join(tmp, "pages")
             os.makedirs(pq_dir, exist_ok=True)
             pq.write_table(_pages_from_extracted(ex_tbl, r),
@@ -717,7 +816,8 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
         pq.write_table(next_tbl, os.path.join(fdir, "part-0.parquet"))
 
     _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
-                  n_next, order_tbl, shards, stage_t)
+                  n_next, order_tbl, shards, stage_t, retries=retries,
+                  cfg=cfg)
     return next_tbl if n_next else None
 
 
@@ -822,9 +922,12 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     extracted = _fetch_extract_distributed(seq_refs, idx_dir, cfg) \
         if n_selected else None
     n_fetched = 0
+    retries = 0
     next_pending = deferred
     if extracted is not None:
         n_fetched = extracted.count()
+        if n_fetched:
+            retries = int(extracted.sum("fetch_attempts")) - n_fetched
         stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
         _t = time.perf_counter()
 
@@ -858,7 +961,7 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         os.makedirs(os.path.join(tmp, "frontier_next"), exist_ok=True)
     stage_t["checkpoint"] = round(time.perf_counter() - _t, 3)
     _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
-                  n_next, None, shards, stage_t)
+                  n_next, None, shards, stage_t, retries=retries, cfg=cfg)
     return next_pending if n_next > 0 else None
 
 

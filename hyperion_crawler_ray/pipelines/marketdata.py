@@ -92,21 +92,25 @@ def gen_raw_quotes(n_tickers: int, n_days: int, seed: int = 42) -> pa.Table:
 @ray.remote(num_cpus=0.05)
 class AssetShard:
     """One shard of the AssetMaster lookup-or-create service (ST-1/T-12).
-    Holds (symbol -> uuid) for symbols whose hash routes here; mints
-    deterministically on miss and records the minted dimension row."""
+    The natural key is ``(symbol, country_code)`` — the reference keys
+    AssetMaster on both (api/src/etl/krx/transformer.py:158-190), so the
+    cache is keyed by ``"country:symbol"`` and the same symbol in two
+    markets mints two distinct uuids. Mints deterministically on miss
+    and records the minted dimension row."""
 
-    def __init__(self, preseed: dict[str, str]):
-        self.cache = dict(preseed)
+    def __init__(self, preseed: dict[tuple[str, str], str]):
+        self.cache = {f"{c}:{s}": u for (s, c), u in preseed.items()}
         self.minted: dict[str, str] = {}
 
-    def get_or_create(self, symbols: list[str]) -> list[str]:
+    def get_or_create(self, keys: list[tuple[str, str]]) -> list[str]:
         out = []
-        for s in symbols:
-            u = self.cache.get(s)
+        for sym, country in keys:
+            k = f"{country}:{sym}"
+            u = self.cache.get(k)
             if u is None:
-                u = asset_uuid(s)
-                self.cache[s] = u
-                self.minted[s] = u
+                u = asset_uuid(sym, country)
+                self.cache[k] = u
+                self.minted[k] = u
             out.append(u)
         return out
 
@@ -173,26 +177,41 @@ def transform_quotes(ds: rd.Dataset, rules: dict | None = None) -> rd.Dataset:
 
 
 def assign_asset_uuids(ds: rd.Dataset, asset_master: pd.DataFrame,
-                       n_shards: int = 4) -> tuple[rd.Dataset, list]:
+                       n_shards: int = 4,
+                       country_col: str | None = None,
+                       default_country: str = "KR") -> tuple[rd.Dataset, list]:
     """T-12 lookup-or-create via sharded actor pool; shard = pure
-    function of symbol, so minting is conflict-free and deterministic."""
+    function of the (symbol, country) natural key, so minting is
+    conflict-free and deterministic. ``country_col`` names a per-row
+    country column when the feed is multi-market; KRX rows default to
+    KR (the reference's AssetMaster key is (symbol, country_code))."""
     import zlib
 
-    def shard_fn(sym: str) -> int:
-        return zlib.crc32(sym.encode()) % n_shards
+    def shard_fn(sym: str, country: str) -> int:
+        return zlib.crc32(f"{country}:{sym}".encode()) % n_shards
 
-    pre: list[dict[str, str]] = [{} for _ in range(n_shards)]
+    pre: list[dict[tuple[str, str], str]] = [{} for _ in range(n_shards)]
     for _, r in asset_master.iterrows():
-        pre[shard_fn(r["symbol"])][r["symbol"]] = r["uuid"]
+        country = r.get("country_code", default_country) \
+            if "country_code" in asset_master.columns else default_country
+        pre[shard_fn(r["symbol"], country)][(r["symbol"], country)] = r["uuid"]
     actors = [AssetShard.remote(pre[s]) for s in range(n_shards)]
 
     def lookup(df: pd.DataFrame) -> pd.DataFrame:
-        shards = df["symbol"].map(shard_fn).to_numpy()
+        if country_col and country_col in df.columns:
+            countries = df[country_col].to_numpy(dtype=object)
+        else:
+            countries = np.full(len(df), default_country, dtype=object)
+        syms = df["symbol"].to_numpy(dtype=object)
+        shards = np.fromiter(
+            (shard_fn(s, c) for s, c in zip(syms, countries)),
+            dtype=np.int64, count=len(df))
         uuids = np.empty(len(df), dtype=object)
         for s in np.unique(shards):
             mask = shards == s
-            syms = df["symbol"].to_numpy()[mask].tolist()
-            uuids[mask] = ray.get(actors[int(s)].get_or_create.remote(syms))
+            keys = list(zip(syms[mask].tolist(),
+                            countries[mask].tolist()))
+            uuids[mask] = ray.get(actors[int(s)].get_or_create.remote(keys))
         df = df.copy()
         df["uuid"] = uuids
         return df
@@ -227,3 +246,33 @@ def run_pipeline(raw: pa.Table, asset_master: pd.DataFrame,
     for a in actors:
         ray.kill(a)
     return ds
+
+
+def to_sink_schema(ds: rd.Dataset) -> rd.Dataset:
+    """Cast the float pipeline columns to the exact DECIMAL sink schema
+    (reference api/src/etl/krx/transformer.py:127-149 declares
+    DECIMAL(20,4) prices / DECIMAL(30,2) cap+value). Floats stay in the
+    compute path (vectorized kernels); exactness is enforced at the
+    sink boundary."""
+    from ..schema import MARKETDATA_SINK_SCHEMA as S
+
+    def cast(t: pa.Table) -> pa.Table:
+        arrays = []
+        for field in S:
+            col = t.column(field.name)
+            if pa.types.is_decimal(field.type):
+                # round half-away at the declared scale first so the
+                # float->decimal cast is exact and deterministic
+                col = pc.round(pc.cast(col, pa.float64()),
+                               ndigits=field.type.scale,
+                               round_mode="half_towards_infinity")
+            arrays.append(pc.cast(col, field.type, safe=False))
+        return pa.Table.from_arrays(arrays, schema=S)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def write_snapshot(ds: rd.Dataset, path: str) -> None:
+    """Sink the snapshot as decimal-typed parquet (S-6 chunked bulk
+    insert analog: one file per block, resumable layout)."""
+    to_sink_schema(ds).write_parquet(path)

@@ -171,6 +171,38 @@ def test_resume_completed_crawl_no_actor_leak(corpus, crawl_result):
     assert n_alive_shards() <= n_before
 
 
+def test_injected_fetch_failures_retry_to_identical_crawl(corpus,
+                                                          crawl_result):
+    """Transient fetch failures (injected deterministically) are
+    retried with backoff: the final crawl is IDENTICAL to the
+    no-failure run, and the lineage task-log records the retries."""
+    import pyarrow.parquet as pqt
+
+    seeds, robots = _fixtures(corpus)
+    out6 = os.path.join(corpus, "crawl_flaky")
+    shutil.rmtree(out6, ignore_errors=True)
+    cfg_f = CrawlConfig(**{**CFG.__dict__, "fetch_failure_rate": 0.5})
+    crawl(os.path.join(corpus, "corpus", "pages"), out6, cfg_f, seeds, robots)
+    out_full, _ = crawl_result
+    assert _engine_order(out6) == _engine_order(out_full)
+    p6 = read_crawl_pages(out6).to_pandas().sort_values("url")
+    pf = read_crawl_pages(out_full).to_pandas().sort_values("url")
+    assert list(p6["url"]) == list(pf["url"])
+    assert list(p6["text"]) == list(pf["text"])
+    lin = pqt.read_table(
+        glob.glob(os.path.join(out6, "rounds", "round=*",
+                               "lineage.parquet"))[0]).to_pandas()
+    # task-log lifecycle envelope present
+    assert {"task_id", "status", "retries", "parameters",
+            "result_summary"} <= set(lin.columns)
+    assert (lin["status"] == "success").all()
+    total_retries = sum(
+        pqt.read_table(f).to_pandas().query("stage == 'round'")["retries"].sum()
+        for f in glob.glob(os.path.join(out6, "rounds", "round=*",
+                                        "lineage.parquet")))
+    assert total_retries > 0  # injected failures were actually retried
+
+
 def test_kill_resume_equality(corpus, crawl_result, oracle_result):
     """Stop after 2 rounds, resume to 4 — identical order/pages/seen as
     the uninterrupted run."""

@@ -89,3 +89,66 @@ def test_upsert_into_snapshot(fixture_data):
     # re-run same batch: upsert is idempotent (same keys, same rows)
     merged = run_pipeline(raw, master, existing_snapshot=first)
     assert merged.count() == n1
+
+
+def test_decimal_sink_schema_and_exactness(fixture_data, tmp_path):
+    """The sink casts money columns to the reference's declared DECIMAL
+    types (DECIMAL(20,4) prices, DECIMAL(30,2) cap/value) and the
+    decimal values equal the rounded float pipeline values exactly."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyperion_crawler_ray.pipelines.marketdata import (
+        run_pipeline,
+        write_snapshot,
+    )
+    from hyperion_crawler_ray.schema import MARKETDATA_SINK_SCHEMA
+
+    raw, master = fixture_data
+    out = run_pipeline(raw, master)
+    path = str(tmp_path / "snapshot")
+    write_snapshot(out, path)
+    import glob
+    files = sorted(glob.glob(path + "/*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    # exact declared schema at the sink
+    assert tbl.schema.equals(MARKETDATA_SINK_SCHEMA), tbl.schema
+    assert tbl.num_rows == out.count()
+    # decimal values == half-away-rounded float values, exactly
+    want = out.to_pandas().sort_values(["trade_date", "symbol"])
+    got = tbl.to_pandas().sort_values(["trade_date", "symbol"])
+    for col, nd in [("close", 4), ("market_cap", 2), ("trading_value", 2)]:
+        w = [decimal.Decimal(str(v)).quantize(
+                 decimal.Decimal(1).scaleb(-nd),
+                 rounding=decimal.ROUND_HALF_UP)
+             for v in want[col]]
+        assert list(got[col]) == w, col
+
+
+def test_country_code_in_natural_key():
+    """Reference parity: AssetMaster is keyed on (symbol, country_code)
+    — the same symbol in two markets mints two DIFFERENT uuids."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hyperion_crawler_ray.pipelines.marketdata import (
+        assign_asset_uuids,
+        asset_uuid,
+    )
+    import ray
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "symbol": ["000001", "000001", "000002"],
+        "country_code": ["KR", "US", "KR"],
+    }))
+    out, actors = assign_asset_uuids(ds, pd.DataFrame(
+        {"symbol": [], "uuid": []}), country_col="country_code")
+    got = out.to_pandas()
+    for a in actors:
+        ray.kill(a)
+    by_key = dict(zip(zip(got["symbol"], got["country_code"]), got["uuid"]))
+    assert by_key[("000001", "KR")] == asset_uuid("000001", "KR")
+    assert by_key[("000001", "US")] == asset_uuid("000001", "US")
+    assert by_key[("000001", "KR")] != by_key[("000001", "US")]

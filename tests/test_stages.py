@@ -60,6 +60,27 @@ def test_embedding_near_dup_finds_planted_pair():
     assert (40, 41) in set(zip(out["id_a"], out["id_b"]))
 
 
+def test_embedding_near_dup_recall_at_scaled_buckets():
+    """Scale path (round-2): bucket count derived from n (>= 64 here)
+    with multi-probe — every planted near-dup pair is still recalled."""
+    rng = np.random.RandomState(7)
+    n, dim = 20000, 16
+    vecs = rng.standard_normal((n, dim))
+    planted = [(i, i + 1) for i in range(0, 40, 2)]
+    for a, b in planted:
+        vecs[b] = vecs[a] + 1e-4 * rng.standard_normal(dim)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = embedding_near_dup(rd.from_pandas(df), "embedding", "vec_id",
+                             threshold=0.999).to_pandas()
+    # derived bucket count: n/target_bucket_rows -> >= 64 buckets
+    found = set(zip(out["id_a"], out["id_b"]))
+    missed = [p for p in planted if p not in found]
+    assert not missed, f"missed planted pairs: {missed}"
+    # pair list is deduplicated despite multi-probe overlap
+    assert len(out) == len(out.drop_duplicates(["id_a", "id_b"]))
+
+
 def test_upsert_new_wins_old_kept():
     old = rd.from_items([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
     new = rd.from_items([{"k": 2, "v": "B"}, {"k": 3, "v": "C"}])
