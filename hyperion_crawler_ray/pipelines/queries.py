@@ -810,11 +810,25 @@ def q_embedding_neardup(sf_dir):
 
 
 def q_ivf_topk(sf_dir):
+    """IVF top-k against the cell-partitioned pruned-read layout, made
+    self-validating: each IVF hit carries ``in_exact`` (is it in the
+    brute-force exact top-k?) so the driver row records recall, not just
+    shape (rows-only — approximate by design)."""
     q = _query_vec(sf_dir)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = annm.ivf_build_centroids(ds, "embedding", n_cells=8)
-    return annm.ivf_topk(ds, "embedding", "vec_id", q, k=10, centroids=cents,
-                         n_probe=3)
+    idx_dir = os.path.join("/tmp", "hyperion_ivf_"
+                           + os.path.basename(os.path.normpath(sf_dir)))
+    annm.ivf_build_index(ds, "embedding", cents, idx_dir)
+    ivf = annm.ivf_topk_indexed(idx_dir, "embedding", "vec_id", q, k=10,
+                                centroids=cents, n_probe=3)
+    exact = annm.cosine_topk(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", q, k=10)
+    exact_ids = set(exact["vec_id"])
+    ivf = ivf.copy()
+    ivf["in_exact"] = ivf["vec_id"].isin(exact_ids)
+    return ivf[["rank", "vec_id", "cos", "in_exact"]]
 
 
 def q_multimodal_pipeline(sf_dir):

@@ -69,13 +69,79 @@ def ivf_build_centroids(ds: rd.Dataset, vec_col: str, n_cells: int,
     return cent
 
 
+def ivf_build_index(ds: rd.Dataset, vec_col: str, centroids: np.ndarray,
+                    idx_dir: str) -> None:
+    """Materialize the IVF cell-partitioned layout ONCE: assign each
+    vector to its nearest centroid and write Hive-partitioned parquet by
+    ``cell`` — a later search reads ONLY its probe cells' files (the
+    pruned read the flat scan can't do). Idempotent via marker, same
+    pattern as the crawl's fetch index."""
+    import json
+    import os
+
+    marker = os.path.join(idx_dir, "_IVF_SUCCESS")
+    if os.path.exists(marker):
+        return
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        vecs = _unit(np.asarray(t.column(vec_col).to_pylist(),
+                                dtype=np.float64))
+        cell = np.argmax(vecs @ cent.T, axis=1)
+        return t.append_column("cell", pa.array(cell.astype(np.int32),
+                                                pa.int32()))
+
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(idx_dir, partition_cols=["cell"])
+    with open(marker, "w") as f:
+        json.dump({"n_cells": len(centroids)}, f)
+
+
+def ivf_topk_indexed(idx_dir: str, vec_col: str, id_col: str,
+                     query: np.ndarray, k: int, centroids: np.ndarray,
+                     n_probe: int = 2) -> pd.DataFrame:
+    """IVF search against the cell-partitioned layout: the read itself
+    prunes to the ``n_probe`` cells closest to the query — at 100 TB
+    this touches n_probe/n_cells of the corpus instead of scanning it."""
+    import glob as _glob
+    import os
+
+    q = _unit(np.asarray(query, dtype=np.float64))
+    probe_cells = np.argsort(-(centroids @ q))[:n_probe]
+    paths = []
+    for c in probe_cells:
+        paths.extend(sorted(_glob.glob(
+            os.path.join(idx_dir, f"cell={int(c)}", "*.parquet"))))
+    if not paths:
+        return pd.DataFrame({id_col: [], "cos": [], "rank": []})
+    qref = ray.put(q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        vecs = _unit(np.asarray(t.column(vec_col).to_pylist(),
+                                dtype=np.float64))
+        ids = np.asarray(t.column(id_col).to_pylist())
+        sims = vecs @ qv
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "cos": pa.array(sims[order], pa.float64())})
+
+    parts = rd.read_parquet(paths, columns=[id_col, vec_col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts.reset_index(drop=True)
+
+
 def ivf_topk(ds: rd.Dataset, vec_col: str, id_col: str,
              query: np.ndarray, k: int, centroids: np.ndarray,
              n_probe: int = 2) -> pd.DataFrame:
-    """IVF search: filter each batch to vectors whose nearest centroid is
-    among the query's ``n_probe`` closest cells, then exact cosine. At
-    cluster scale the dataset would be pre-partitioned by cell id so the
-    read itself prunes; here the cell filter runs inside map_batches."""
+    """IVF search over a FLAT dataset: filter each batch to vectors
+    whose nearest centroid is among the query's ``n_probe`` closest
+    cells, then exact cosine. Use ``ivf_build_index`` +
+    ``ivf_topk_indexed`` for the pruned-read layout at scale."""
     q = _unit(np.asarray(query, dtype=np.float64))
     probe_cells = np.argsort(-(centroids @ q))[:n_probe]
     cref = ray.put((centroids, frozenset(probe_cells.tolist()), q))
