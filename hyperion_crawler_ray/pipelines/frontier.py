@@ -540,15 +540,27 @@ _FETCH_COLS = ["url", "url_hash", "host", "lang", "html"]
 
 
 @ray.remote
-def _block_nrows(t: pa.Table) -> int:
-    return t.num_rows
+def _block_nrows(t) -> int:
+    return len(t) if hasattr(t, "__len__") else t.num_rows
 
 
 @ray.remote
-def _block_add_seq(t: pa.Table, offset: int) -> pa.Table:
-    return t.append_column(
+def _block_add_seq(t: pa.Table, offset: int, r: int,
+                   order_path: str | None) -> pa.Table:
+    """Stamp the global seq onto one sorted block; when ``order_path``
+    is given, also write this block's slice of the crawl-order log —
+    fusing the order sink into the seq pass saves a whole Dataset
+    execution per round."""
+    t = t.append_column(
         "seq", pa.array(np.arange(offset, offset + t.num_rows,
                                   dtype=np.int64), pa.int64()))
+    if order_path is not None:
+        pq.write_table(pa.table({
+            "round": pa.array(np.full(t.num_rows, r, np.int32), pa.int32()),
+            "seq": t.column("seq"),
+            "url": t.column("url"),
+        }), order_path)
+    return t
 
 
 @ray.remote
@@ -581,19 +593,43 @@ def _fetch_bucket_task(paths: list[str], sched_refs: list,
     return idx.join(sched, keys="url_hash", join_type="inner")
 
 
-def _assign_seq(selected: rd.Dataset):
+def _assign_seq(selected: rd.Dataset, r: int, order_dir: str | None):
     """Distributed total crawl order: sort by (-priority, hash_hex),
-    then stamp a global seq from per-block offsets. Returns the ordered
+    then stamp a global seq from per-block offsets (block row counts
+    come from the sorted blocks' METADATA — no extra task round-trip)
+    and write the order log from the same tasks. Returns the ordered
     block refs (frontier cols + seq) and their row counts."""
     sorted_ds = selected.sort(["priority", "hash_hex"],
-                              descending=[True, False])
-    refs = sorted_ds.to_arrow_refs()
-    counts = ray.get([_block_nrows.remote(r) for r in refs])
+                              descending=[True, False]).materialize()
+    # block row counts straight from the materialized metadata (no task
+    # round-trip); to_arrow_refs flattens bundles in the same order and
+    # converts any pandas-typed sort blocks to Arrow
+    meta_counts = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for _, meta in bundle.blocks:
+            meta_counts.append(meta.num_rows)
+    all_refs = sorted_ds.to_arrow_refs()
+    if len(all_refs) != len(meta_counts) or any(c is None
+                                               for c in meta_counts):
+        meta_counts = ray.get([_block_nrows.remote(x) for x in all_refs])
+    # drop empty blocks: upstream pandas map_groups can emit ZERO-COLUMN
+    # empty blocks that Ray passes through map stages untouched — no
+    # rows but also no schema, and they poison the per-bucket split
+    # (observed: KeyError url_hash on a fresh 240k-page run)
+    refs = [x for x, c in zip(all_refs, meta_counts) if c]
+    counts = [c for c in meta_counts if c]
     offs = np.zeros(len(counts), np.int64)
     if len(counts) > 1:
         np.cumsum(counts[:-1], out=offs[1:])
-    seq_refs = [_block_add_seq.remote(r, int(o))
-                for r, o in zip(refs, offs)]
+    if order_dir is not None:
+        os.makedirs(order_dir, exist_ok=True)
+    seq_refs = [
+        _block_add_seq.remote(
+            ref, int(o), r,
+            os.path.join(order_dir, f"part-{i:05d}.parquet")
+            if order_dir is not None else None)
+        for i, (ref, o) in enumerate(zip(refs, offs))
+    ]
     return seq_refs, counts
 
 
@@ -885,9 +921,33 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         losers = staged.map_batches(keep_losers, batch_format="pyarrow")
         marked = marked_cand.union(losers).materialize()
     else:
+        # Coarse-bucket vectorized selection: grouping by raw host pays
+        # map_groups' per-group Python overhead for EVERY host (~2.4k
+        # hosts here, unbounded at scale); hashing hosts into 64 buckets
+        # and ranking per host with a vectorized cumcount inside each
+        # bucket is semantically identical (a host's rows always share a
+        # bucket) at a fraction of the fixed cost. Hub-host skew inside
+        # a bucket is what politeness_salt>1 addresses.
+        def add_hb(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__hb"] = (pd.util.hash_array(
+                df["host"].to_numpy(dtype=object)) % 64).astype(np.int32)
+            return df
+
+        def select_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["priority", "hash_hex"],
+                                ascending=[False, True], kind="mergesort")
+            bmap = {h: budget_fn(delay_ms.get(h, 1000))
+                    for h in df["host"].unique()}
+            budgets = df["host"].map(bmap)
+            rank = df.groupby("host", sort=False).cumcount()
+            df["selected"] = (rank < budgets).to_numpy()
+            return df.drop(columns="__hb")
+
         marked = _as_arrow(
-            pending.groupby("host")
-            .map_groups(select, batch_format="pandas")
+            pending.map_batches(add_hb, batch_format="pandas")
+            .groupby("__hb")
+            .map_groups(select_bucket, batch_format="pandas")
         ).materialize()
     stage_t["select_shuffle"] = round(time.perf_counter() - _t, 3)
     _t = time.perf_counter()
@@ -901,22 +961,12 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
 
     # distributed schedule: seq via sort + block offsets; the selected
     # frontier never reaches the driver (round 1 gathered it into a
-    # pandas frame + broadcast dict — unbounded at 10^10-URL scale)
-    seq_refs, counts = _assign_seq(selected_ds)
+    # pandas frame + broadcast dict — unbounded at 10^10-URL scale).
+    # The order log is written by the same seq tasks (no extra pass).
+    seq_refs, counts = _assign_seq(selected_ds, r,
+                                   os.path.join(tmp, "order"))
     n_selected = int(np.sum(counts)) if counts else 0
     stage_t["sched_seq"] = round(time.perf_counter() - _t, 3)
-    _t = time.perf_counter()
-
-    if n_selected:
-        rd.from_arrow_refs(list(seq_refs)).map_batches(
-            lambda t: pa.table({
-                "round": pa.array(np.full(t.num_rows, r, np.int32),
-                                  pa.int32()),
-                "seq": t.column("seq"),
-                "url": t.column("url"),
-            }), batch_format="pyarrow",
-        ).write_parquet(os.path.join(tmp, "order"))
-    stage_t["order_write"] = round(time.perf_counter() - _t, 3)
     _t = time.perf_counter()
 
     extracted = _fetch_extract_distributed(seq_refs, idx_dir, cfg) \
@@ -948,6 +998,14 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     _t = time.perf_counter()
     next_pending = next_pending.materialize()
     n_next = next_pending.count()
+    # coalesce the pending frontier when union accumulation has left it
+    # in absurdly many tiny blocks — every later shuffle pays per-block
+    # overhead (select_shuffle grew 4x across rounds before this)
+    if n_next:
+        nb = next_pending.num_blocks()
+        target = max(8, min(64, n_next // 4096 + 1))
+        if nb > 2 * target:
+            next_pending = next_pending.repartition(target).materialize()
     stage_t["admit_union"] = round(time.perf_counter() - _t, 3)
     if os.environ.get("HYPERION_STATS") and extracted is not None:
         print(f"=== round {r} extract stats ===\n{extracted.stats()}\n"
