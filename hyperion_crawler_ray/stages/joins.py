@@ -78,8 +78,6 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     int64 key columns to float64 via NaN fill) and per-bucket splits
     recover each side by its captured column list — an all-null column
     inside one bucket survives intact."""
-    # normalize to Arrow blocks first: schema() on a pandas-blocked
-    # upstream yields a PandasBlockSchema, not a pa.Schema
     on = [on] if isinstance(on, str) else list(on)
     # normalize to Arrow blocks first: schema() on a pandas-blocked
     # upstream yields a PandasBlockSchema, not a pa.Schema. Callers that
@@ -182,6 +180,91 @@ def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         lt_ = t.filter(pc.equal(side, 0)).select(l_cols).cast(l_target)
         rt_ = t.filter(pc.equal(side, 1)).select(r_select).cast(r_target)
         return lt_.join(rt_, keys=on, join_type=join_type)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
+              num_partitions: int = 16,
+              direction: str = "backward",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> rd.Dataset:
+    """Distributed AS-OF join: for each left row, attach the latest
+    right row with ``right.ts <= left.ts`` for the same ``key``
+    (direction="forward" flips to earliest-at-or-after). Ray Data has no
+    such operator; this composes it as hash-partition both sides on the
+    key -> co-group -> per-bucket ``pd.merge_asof`` over ts-sorted
+    frames.
+
+    Partitioning assumption (documented per SURVEY §7): a key's rows
+    must fit one task's memory — size ``num_partitions`` so the largest
+    bucket does; hot keys should be pre-aggregated or range-split by the
+    caller (an as-of match never crosses keys, so bucketing by key hash
+    is lossless)."""
+    left = left.map_batches(lambda t: t, batch_format="pyarrow")
+    right = right.map_batches(lambda t: t, batch_format="pyarrow")
+    l_schema = left_schema or left.schema().base_schema
+    r_schema = right_schema or right.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {key, ts}
+    if overlap:
+        raise ValueError(f"asof_join: non-key column collision {overlap}; "
+                         "rename before joining")
+    unified = pa.schema(
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_cols if c not in (key, ts)]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
+    )
+
+    def tag(side: int, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            h = _key_hash(t, [key])
+            arrays = []
+            for field in unified:
+                if field.name == "__bucket":
+                    arrays.append(pa.array(
+                        (h % num_partitions).astype(np.int32), pa.int32()))
+                elif field.name == "__side":
+                    arrays.append(pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()))
+                elif field.name in t.column_names:
+                    arrays.append(t.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, field.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
+        return f
+
+    lt = left.map_batches(tag(0, l_cols), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, r_cols), batch_format="pyarrow")
+    out_schema = pa.schema(
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_cols if c not in (key, ts)])
+    r_val_cols = [c for c in r_cols if c not in (key, ts)]
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return out_schema.empty_table()
+        side = t.column("__side")
+        ldf = t.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
+        rdf = t.filter(pc.equal(side, 1)).select(
+            [key, ts] + r_val_cols).to_pandas()
+        if len(ldf) == 0:
+            return out_schema.empty_table()
+        ldf = ldf.sort_values([ts, key], kind="mergesort")
+        rdf = rdf.sort_values([ts, key], kind="mergesort")
+        if len(rdf) == 0:
+            for c in r_val_cols:
+                ldf[c] = None
+            merged = ldf
+        else:
+            merged = pd.merge_asof(ldf, rdf, on=ts, by=key,
+                                   direction=direction)
+        return pa.Table.from_pandas(
+            merged, preserve_index=False).select(
+            out_schema.names).cast(out_schema)
 
     return lt.union(rt).groupby("__bucket").map_groups(
         merge_bucket, batch_format="pyarrow")

@@ -1,0 +1,145 @@
+"""Partitioned join stages (stages/joins.py) vs pandas oracles,
+including the round-1 failure modes: dtype stability across buckets,
+all-null columns inside a bucket, one-sided buckets, composite keys."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hyperion_crawler_ray.stages.joins import hash_join, semi_join_large
+
+
+def _ds(df: pd.DataFrame) -> rd.Dataset:
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_hash_join_preserves_int_key_dtype_with_disjoint_buckets():
+    """Round-1 bug: pandas union NaN-filled the missing side and coerced
+    int64 keys to float64 whenever a bucket held rows from one side."""
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "a": np.arange(100)})
+    right = pd.DataFrame({"k": np.arange(90, 190, dtype=np.int64),
+                          "b": np.arange(100) * 2})
+    out = hash_join(_ds(left), _ds(right), on="k",
+                    num_partitions=16).to_pandas()
+    assert out["k"].dtype == np.int64
+    assert out["a"].dtype == np.int64 and out["b"].dtype == np.int64
+    want = left.merge(right, on="k")
+    assert len(out) == len(want) == 10
+    assert sorted(out["k"]) == sorted(want["k"])
+
+
+def test_hash_join_keeps_all_null_column_in_sparse_bucket():
+    """dropna(axis=1) (round 1) silently dropped a legit column that was
+    all-null within one bucket."""
+    left = pd.DataFrame({"k": [1, 2, 3, 4],
+                         "note": pd.array([None, None, None, None],
+                                          dtype="string")})
+    right = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    out = hash_join(_ds(left), _ds(right), on="k",
+                    num_partitions=4).to_pandas()
+    assert "note" in out.columns
+    assert len(out) == 4
+    assert out["note"].isna().all()
+
+
+def test_hash_join_left_outer():
+    left = pd.DataFrame({"k": [1, 2, 3], "a": ["x", "y", "z"]})
+    right = pd.DataFrame({"k": [2], "b": [99]})
+    out = hash_join(_ds(left), _ds(right), on="k", how="left",
+                    num_partitions=4).to_pandas().sort_values("k")
+    assert list(out["k"]) == [1, 2, 3]
+    assert out.loc[out["k"] == 2, "b"].iloc[0] == 99
+    assert out.loc[out["k"] != 2, "b"].isna().all()
+
+
+def test_hash_join_rejects_column_collision():
+    left = pd.DataFrame({"k": [1], "x": [1]})
+    right = pd.DataFrame({"k": [1], "x": [2]})
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(_ds(left), _ds(right), on="k")
+
+
+def test_semi_join_large_composite_key_semi_and_anti():
+    left = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "y", "x", "y", "x"],
+                         "v": [10, 11, 12, 13, 14]})
+    right = pd.DataFrame({"a": [1, 2, 9], "b": ["y", "x", "q"],
+                          "junk": [0, 0, 0]})
+    semi = semi_join_large(_ds(left), _ds(right), on=["a", "b"],
+                           how="semi").to_pandas().sort_values("v")
+    anti = semi_join_large(_ds(left), _ds(right), on=["a", "b"],
+                           how="anti").to_pandas().sort_values("v")
+    assert list(semi["v"]) == [11, 12]
+    assert list(anti["v"]) == [10, 13, 14]
+    assert set(semi.columns) == {"a", "b", "v"}  # right cols never leak
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lkeys=st.lists(st.integers(0, 30), min_size=0, max_size=60),
+    rkeys=st.lists(st.integers(0, 30), min_size=0, max_size=60),
+    nparts=st.sampled_from([1, 4, 16]),
+)
+def test_hash_join_matches_pandas_merge(lkeys, rkeys, nparts):
+    left = pd.DataFrame({"k": np.asarray(lkeys, np.int64),
+                         "a": np.arange(len(lkeys), dtype=np.int64)})
+    right_df = pd.DataFrame({"k": np.asarray(rkeys, np.int64)})
+    right_df = right_df.drop_duplicates("k")
+    right_df["b"] = right_df["k"] * 7
+    if len(left) == 0 or len(right_df) == 0:
+        return  # empty datasets have no schema to join on
+    out = hash_join(_ds(left), _ds(right_df), on="k",
+                    num_partitions=nparts).to_pandas()
+    want = left.merge(right_df, on="k")
+    assert len(out) == len(want)
+    if len(want) == 0:
+        return
+    key = lambda df: sorted(map(tuple, df[["k", "a", "b"]].to_numpy()))
+    assert key(out) == key(want)
+
+
+def test_asof_join_matches_pandas_and_duckdb():
+    """As-of join (custom operator Ray Data lacks): per-key latest right
+    row at-or-before each left ts. Oracled against BOTH a global
+    pd.merge_asof and DuckDB's ASOF JOIN."""
+    rng = np.random.RandomState(3)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame({
+        "sym": rng.choice(["A", "B", "C", "D"], n_l),
+        "ts": rng.randint(0, 10000, n_l).astype(np.int64),
+        "order_id": np.arange(n_l, dtype=np.int64),
+    }).drop_duplicates(["sym", "ts"])
+    right = pd.DataFrame({
+        "sym": rng.choice(["A", "B", "C", "E"], n_r),
+        "ts": rng.randint(0, 10000, n_r).astype(np.int64),
+        "px": np.round(rng.uniform(1, 100, n_r), 2),
+    }).drop_duplicates(["sym", "ts"])
+
+    from hyperion_crawler_ray.stages.joins import asof_join
+
+    got = asof_join(_ds(left), _ds(right), key="sym", ts="ts",
+                    num_partitions=8).to_pandas()
+    got = got.sort_values("order_id").reset_index(drop=True)
+
+    want = pd.merge_asof(left.sort_values(["ts", "sym"], kind="mergesort"),
+                         right.sort_values(["ts", "sym"], kind="mergesort"),
+                         on="ts", by="sym", direction="backward")
+    want = want.sort_values("order_id").reset_index(drop=True)
+    assert len(got) == len(left)
+    assert list(got["order_id"]) == list(want["order_id"])
+    assert got["px"].fillna(-1).tolist() == want["px"].fillna(-1).tolist()
+
+    import duckdb
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    dk = con.execute("""
+        SELECT l.order_id, r.px
+        FROM l ASOF LEFT JOIN r ON l.sym = r.sym AND l.ts >= r.ts
+        ORDER BY l.order_id
+    """).fetchdf()
+    assert got["px"].fillna(-1).tolist() == dk["px"].fillna(-1).tolist()
