@@ -86,6 +86,53 @@ def langid(text: str) -> str:
     return best_lang
 
 
+def langid_batch(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized ``langid`` over a string column: one arrow lowercase
+    kernel + ONE numpy bincount over the batch's UTF-8 bytes for the
+    per-doc letter histograms (the per-character Python loop was 40% of
+    the scoring stage); only the tiny top-12-vs-profile ranking stays
+    per doc. Byte-identical results to ``langid`` (multi-byte UTF-8
+    bytes are >= 0x80 and fall outside a-z, same as the scalar path;
+    asserted in tests)."""
+    lower = pc.utf8_lower(col)
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    n = len(lower)
+    out = np.empty(n, object)
+    if n == 0:
+        return out
+    bufs = lower.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        lower.offset: lower.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    offs = offs - offs[0]
+    byte_lens = offs[1:] - offs[:-1]
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), byte_lens)
+    code = data.astype(np.int64) - 96          # 'a' -> 1 .. 'z' -> 26
+    valid = (code >= 1) & (code <= 26)
+    ids = doc_ids * 27 + np.where(valid, code, 0)
+    counts = np.bincount(ids, minlength=n * 27).reshape(n, 27)[:, 1:]
+
+    for d in range(n):
+        c = counts[d]
+        nz = np.nonzero(c)[0]
+        if nz.size == 0:
+            out[d] = "und"
+            continue
+        top = nz[np.lexsort((nz, -c[nz]))][:12]
+        best_lang, best = "und", -1.0
+        for lang, prof in _PROFILES.items():
+            score = 0
+            for i, li in enumerate(top):
+                ch = chr(97 + int(li))
+                if ch in prof:
+                    score += 12 - abs(i - prof[ch])
+            if score > best:
+                best, best_lang = score, lang
+        out[d] = best_lang
+    return out
+
+
 def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
     """Full per-page scoring bundle (the crawl's enrichment stage):
     n_tokens, n_bpe_tokens, stopword_ratio, mean_word_len, simhash,
@@ -118,9 +165,7 @@ def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
 
     n_bpe = np.fromiter((len(_BPE_RE.findall(s)) for s in texts),
                         dtype=np.int64, count=n)
-    langs = np.empty(n, object)
-    for i, s in enumerate(texts):
-        langs[i] = langid(s)
+    langs = langid_batch(col)
 
     return {
         "n_tokens": counts,

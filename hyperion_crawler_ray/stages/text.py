@@ -89,36 +89,21 @@ def quality_score(ds: rd.Dataset, concurrency: int = 4,
 
 
 class LangId:
-    """Heuristic n-gram/letter-frequency language scorer (actor pool).
+    """Heuristic letter-frequency language scorer (actor pool).
     Deterministic, no external model: ranks languages by rank-correlation
-    of the doc's most frequent letters with tiny per-language profiles."""
+    of the doc's most frequent letters with tiny per-language profiles.
+    Delegates to the shared vectorized kernel
+    (functions/textstats.py::langid_batch) — one bincount over the
+    batch's UTF-8 bytes instead of a per-character Python loop."""
 
     def __init__(self):
-        self.profiles = {
-            lang: {c: i for i, c in enumerate(prof)}
-            for lang, prof in _LANG_PROFILES.items()
-        }
-
-    def _score(self, text: str) -> str:
-        counts: dict[str, int] = {}
-        for ch in text.lower():
-            if "a" <= ch <= "z":
-                counts[ch] = counts.get(ch, 0) + 1
-        if not counts:
-            return "und"
-        top = [c for c, _ in sorted(counts.items(),
-                                    key=lambda kv: (-kv[1], kv[0]))[:12]]
-        best_lang, best = "und", -1.0
-        for lang, prof in self.profiles.items():
-            score = sum(12 - abs(i - prof[c]) for i, c in enumerate(top)
-                        if c in prof)
-            if score > best:
-                best, best_lang = score, lang
-        return best_lang
+        from ..functions.textstats import langid_batch
+        self._batch = langid_batch
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["lang_pred"] = [self._score(s) for s in df["text"]]
+        df["lang_pred"] = self._batch(
+            pa.array(df["text"].tolist(), pa.string()))
         return df
 
 

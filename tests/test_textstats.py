@@ -49,3 +49,23 @@ def test_langid_deterministic():
     assert [langid(t) for t in texts] == [langid(t) for t in texts]
     assert langid("") == "und"
     assert langid("12345 !!!") == "und"
+
+
+def test_langid_batch_equals_scalar():
+    """The vectorized langid (one bincount over UTF-8 bytes) must match
+    the scalar reference implementation byte for byte, including unicode
+    and empty edge cases."""
+    import pyarrow as pa
+
+    from hyperion_crawler_ray.functions.textstats import langid, langid_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "der schnelle braune fuchs springt", "",
+        "éèàç ûï unicode only", "les enfants sont dans le jardin",
+        "los ninos estan en el jardin", "12345 !!! ???",
+        "ZzzZZ aAAaa", "日本語テキスト", "mixedCASE Text And MORE",
+    ]
+    got = list(langid_batch(pa.array(texts, pa.string())))
+    want = [langid(s) for s in texts]
+    assert got == want
