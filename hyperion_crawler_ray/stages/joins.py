@@ -268,3 +268,106 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
 
     return lt.union(rt).groupby("__bucket").map_groups(
         merge_bucket, batch_format="pyarrow")
+
+
+def range_join(left: rd.Dataset, right: rd.Dataset, key: str,
+               left_val: str, right_lo: str, right_hi: str,
+               num_partitions: int = 16,
+               left_schema: pa.Schema | None = None,
+               right_schema: pa.Schema | None = None) -> rd.Dataset:
+    """Distributed RANGE join: attach every right row whose
+    ``[right_lo, right_hi]`` interval contains the left row's
+    ``left_val``, per ``key`` (inner semantics: unmatched left rows
+    drop). Composed as key-hash co-group -> per-bucket interval probe
+    (np.searchsorted over the bucket's interval starts + containment
+    filter).
+
+    Partitioning assumption: one key's rows and intervals must fit a
+    task's memory (size ``num_partitions`` accordingly); intervals of
+    DIFFERENT keys never match, so key-hash bucketing is lossless."""
+    left = left.map_batches(lambda t: t, batch_format="pyarrow")
+    right = right.map_batches(lambda t: t, batch_format="pyarrow")
+    l_schema = left_schema or left.schema().base_schema
+    r_schema = right_schema or right.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {key}
+    if overlap:
+        raise ValueError(f"range_join: non-key column collision {overlap}; "
+                         "rename before joining")
+    unified = pa.schema(
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_cols if c != key]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
+    )
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            h = _key_hash(t, [key])
+            arrays = []
+            for field in unified:
+                if field.name == "__bucket":
+                    arrays.append(pa.array(
+                        (h % num_partitions).astype(np.int32), pa.int32()))
+                elif field.name == "__side":
+                    arrays.append(pa.array(
+                        np.full(t.num_rows, side, np.int8), pa.int8()))
+                elif field.name in t.column_names:
+                    arrays.append(t.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, field.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
+        return f
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    r_val_cols = [c for c in r_cols if c != key]
+    out_schema = pa.schema(
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_val_cols])
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return out_schema.empty_table()
+        side = t.column("__side")
+        ldf = t.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
+        rdf = t.filter(pc.equal(side, 1)).select(
+            [key] + r_val_cols).to_pandas()
+        if len(ldf) == 0 or len(rdf) == 0:
+            return out_schema.empty_table()
+        # per key: probe each left value into the key's sorted interval
+        # starts, then brute-filter the candidate window by containment
+        out_parts = []
+        rgroups = dict(tuple(rdf.groupby(key, sort=False).__iter__()))
+        for k, lg in ldf.groupby(key, sort=False):
+            rg = rgroups.get(k)
+            if rg is None:
+                continue
+            rg = rg.sort_values(right_lo, kind="mergesort")
+            lo = rg[right_lo].to_numpy()
+            hi = rg[right_hi].to_numpy()
+            vals = lg[left_val].to_numpy()
+            # candidate: every interval with lo <= val; prune by hi >= val
+            hi_idx = np.searchsorted(lo, vals, side="right")
+            li_list, ri_list = [], []
+            for i, (v, n_cand) in enumerate(zip(vals, hi_idx)):
+                cand = np.nonzero(hi[:n_cand] >= v)[0]
+                li_list.extend([i] * len(cand))
+                ri_list.extend(cand.tolist())
+            if not li_list:
+                continue
+            merged = pd.concat(
+                [lg.iloc[np.asarray(li_list)].reset_index(drop=True),
+                 rg.iloc[np.asarray(ri_list)][r_val_cols]
+                 .reset_index(drop=True)], axis=1)
+            out_parts.append(merged)
+        if not out_parts:
+            return out_schema.empty_table()
+        merged = pd.concat(out_parts, ignore_index=True)
+        return pa.Table.from_pandas(
+            merged, preserve_index=False).select(
+            out_schema.names).cast(out_schema)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")

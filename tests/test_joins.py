@@ -143,3 +143,64 @@ def test_asof_join_matches_pandas_and_duckdb():
         ORDER BY l.order_id
     """).fetchdf()
     assert got["px"].fillna(-1).tolist() == dk["px"].fillna(-1).tolist()
+
+
+def test_range_join_matches_pandas_and_duckdb():
+    """Range (interval-containment) join: every right interval
+    [lo, hi] containing the left row's value, per key. Oracled against
+    a pandas cross-merge filter and a DuckDB inequality join."""
+    rng = np.random.RandomState(7)
+    n_l, n_r = 500, 200
+    left = pd.DataFrame({
+        "host": rng.choice(["a.com", "b.com", "c.com"], n_l),
+        "val": rng.randint(0, 1000, n_l).astype(np.int64),
+        "row_id": np.arange(n_l, dtype=np.int64),
+    })
+    lo = rng.randint(0, 950, n_r).astype(np.int64)
+    right = pd.DataFrame({
+        "host": rng.choice(["a.com", "b.com", "d.com"], n_r),
+        "lo": lo,
+        "hi": lo + rng.randint(0, 120, n_r).astype(np.int64),
+        "band_id": np.arange(n_r, dtype=np.int64),
+    })
+
+    from hyperion_crawler_ray.stages.joins import range_join
+
+    got = range_join(_ds(left), _ds(right), key="host",
+                     left_val="val", right_lo="lo", right_hi="hi",
+                     num_partitions=8).to_pandas()
+    got_pairs = sorted(map(tuple, got[["row_id", "band_id"]].to_numpy()))
+
+    want = left.merge(right, on="host")
+    want = want[(want["val"] >= want["lo"]) & (want["val"] <= want["hi"])]
+    want_pairs = sorted(map(tuple, want[["row_id", "band_id"]].to_numpy()))
+    assert got_pairs == want_pairs
+    assert len(got_pairs) > 0  # non-degenerate fixture
+    assert got["row_id"].dtype == np.int64 and got["band_id"].dtype == np.int64
+
+    import duckdb
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    dk = con.execute("""
+        SELECT l.row_id, r.band_id FROM l JOIN r
+        ON l.host = r.host AND l.val BETWEEN r.lo AND r.hi
+        ORDER BY l.row_id, r.band_id
+    """).fetchdf()
+    assert got_pairs == sorted(map(tuple, dk.to_numpy()))
+
+
+def test_range_join_one_sided_bucket_and_empty_result():
+    left = pd.DataFrame({"k": ["only-left"], "val": np.array([5], np.int64),
+                         "row_id": np.array([0], np.int64)})
+    right = pd.DataFrame({"k": ["only-right"], "lo": np.array([0], np.int64),
+                          "hi": np.array([10], np.int64),
+                          "band_id": np.array([0], np.int64)})
+    from hyperion_crawler_ray.stages.joins import range_join
+    out = range_join(_ds(left), _ds(right), key="k", left_val="val",
+                     right_lo="lo", right_hi="hi", num_partitions=4)
+    # schema survives an all-empty result (to_pandas drops columns on
+    # zero rows — a Ray quirk — so assert on the Dataset schema)
+    assert set(out.schema().names) == {"k", "val", "row_id", "lo", "hi",
+                                       "band_id"}
+    assert out.count() == 0
