@@ -33,25 +33,29 @@ def broadcast_join(ds: rd.Dataset, small: pd.DataFrame, on: str | list[str],
 def semi_join(ds: rd.Dataset, col: str, keys) -> rd.Dataset:
     """J-2 FK-existence semi-join (reference
     api/src/etl/krx/loader.py:187-193): keep rows whose key exists in the
-    broadcast key set."""
-    ref = ray.put(frozenset(keys))
+    broadcast key set. Pure-Arrow: zero-copy blocks + one pc.is_in kernel
+    per batch against the one object-store copy of the key set."""
+    ref = ray.put(pa.array(sorted(set(keys))))
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         ks = ray.get(ref)
-        return df[df[col].isin(ks)]
+        return t.filter(pc.is_in(t.column(col), value_set=ks))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def anti_join(ds: rd.Dataset, col: str, keys) -> rd.Dataset:
     """Negation of J-2 — the reject set (dead-letter side)."""
-    ref = ray.put(frozenset(keys))
+    ref = ray.put(pa.array(sorted(set(keys))))
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         ks = ray.get(ref)
-        return df[~df[col].isin(ks)]
+        hit = pc.is_in(t.column(col), value_set=ks)
+        return t.filter(pc.invert(pc.fill_null(hit, False)))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _key_hash(t: pa.Table, on: list[str]) -> np.ndarray:
