@@ -67,14 +67,49 @@ def _key_hash(t: pa.Table, on: list[str]) -> np.ndarray:
     return h
 
 
+def detect_hot_keys(ds: rd.Dataset, col: str, sample_frac: float = 0.05,
+                    threshold: float = 0.01, seed: int = 0,
+                    top_per_batch: int = 64) -> list:
+    """Sampling-based skew probe for `hash_join(hot_keys=...)`: return
+    key values holding more than ``threshold`` of a seeded sample.
+    Driver traffic is bounded at ``top_per_batch`` (value, count) rows
+    per sampled block — a truly hot key is by definition inside every
+    block's top — never the sample itself."""
+    import pyarrow.compute as pc
+
+    def top_counts(t: pa.Table) -> pa.Table:
+        vc = t.select([col]).group_by(col).aggregate([(col, "count")])
+        vc = vc.rename_columns([col, "cnt"])
+        order = pc.select_k_unstable(
+            vc, k=min(top_per_batch, vc.num_rows),
+            sort_keys=[("cnt", "descending")])
+        return vc.take(order)
+
+    sampled = ds.random_sample(sample_frac, seed=seed) if sample_frac < 1.0 \
+        else ds
+    parts = sampled.map_batches(top_counts, batch_format="pyarrow") \
+                   .to_pandas()
+    if len(parts) == 0:
+        return []
+    counts = parts.groupby(col, sort=False)["cnt"].sum()
+    total = counts.sum()
+    return counts[counts > threshold * total].index.tolist()
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
               num_partitions: int = 16, how: str = "inner",
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None) -> rd.Dataset:
+              right_schema: pa.Schema | None = None,
+              hot_keys=None, salt: int = 8) -> rd.Dataset:
     """Partitioned hash join for two LARGE sides: bucket both on
     ``hash(key) % B`` (B explicit), co-group, Arrow-native join per
-    bucket. The groupby is the one unavoidable all-to-all; skewed keys
-    should be pre-salted by the caller.
+    bucket. The groupby is the one unavoidable all-to-all.
+
+    Skew: pass ``hot_keys`` (e.g. from `detect_hot_keys`) to spread each
+    hot key's LEFT rows over ``salt`` sub-buckets and replicate only the
+    hot RIGHT rows ``salt``× — the classic salted join, so one hot key
+    no longer serializes into a single straggler task. Single-column
+    keys only (the common skew shape).
 
     Schema stability: both sides are unioned under ONE explicit Arrow
     schema (each side's missing columns appended as typed nulls), so no
@@ -99,9 +134,14 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
                          "rename before joining")
     if how not in ("inner", "left"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
+    if hot_keys is not None and len(on) != 1:
+        raise ValueError("hash_join: hot-key salting supports single-column "
+                         "keys only")
     join_type = "inner" if how == "inner" else "left outer"
     out = _bucketed_join(left, right, on, l_cols, r_cols, l_schema, r_schema,
-                         num_partitions, join_type, r_select=r_cols)
+                         num_partitions, join_type, r_select=r_cols,
+                         hot_keys=list(hot_keys) if hot_keys else None,
+                         salt=salt)
     return out
 
 
@@ -131,11 +171,19 @@ def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                    l_cols: list[str], r_cols: list[str],
                    l_schema: pa.Schema, r_schema: pa.Schema,
                    num_partitions: int, join_type: str,
-                   r_select: list[str]) -> rd.Dataset:
+                   r_select: list[str], hot_keys: list | None = None,
+                   salt: int = 1) -> rd.Dataset:
     """Shared core: tag both sides under ONE unified Arrow schema (typed
     nulls for the other side's columns — schema-stable across blocks,
     no pandas NaN dtype coercion), shuffle on the explicit bucket, and
-    run the Arrow hash join inside each bucket."""
+    run the Arrow hash join inside each bucket.
+
+    With ``hot_keys``: a hot key's left rows round-robin over ``salt``
+    sub-buckets; its right rows are appended once per sub-bucket, so
+    every (key, sub-bucket) pair still co-locates. Non-hot rows keep
+    sub-bucket 0 — correctness is unchanged for any assignment."""
+    salted = bool(hot_keys) and salt > 1
+    hot_arr = pa.array(sorted(set(hot_keys))) if salted else None
     unified = pa.schema(
         [l_schema.field(c) for c in l_cols]
         + [r_schema.field(c) for c in r_cols if c not in l_cols]
@@ -144,19 +192,36 @@ def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
             h = _key_hash(t, on)
+            bucket = (h % num_partitions).astype(np.int64)
+            if salted:
+                hot = pc.fill_null(
+                    pc.is_in(t.column(on[0]), value_set=hot_arr),
+                    False).to_numpy(zero_copy_only=False)
+                sub = np.zeros(t.num_rows, np.int64)
+                if side == 0:
+                    sub[hot] = np.arange(int(hot.sum())) % salt
+                bucket = bucket * salt + sub
+                if side == 1 and hot.any():
+                    # replicate hot right rows into sub-buckets 1..salt-1
+                    hot_t = t.filter(pa.array(hot))
+                    hot_b = bucket[hot]
+                    t = pa.concat_tables([t] + [hot_t] * (salt - 1))
+                    bucket = np.concatenate(
+                        [bucket] + [hot_b + s for s in range(1, salt)])
             arrays = []
             for field in unified:
                 if field.name == "__bucket":
                     arrays.append(pa.array(
-                        (h % num_partitions).astype(np.int32), pa.int32()))
+                        bucket.astype(np.int32), pa.int32()))
                 elif field.name == "__side":
                     arrays.append(pa.array(
-                        np.full(t.num_rows, side, np.int8), pa.int8()))
+                        np.full(len(bucket), side, np.int8), pa.int8()))
                 elif field.name in t.column_names:
                     arrays.append(t.column(field.name).cast(field.type))
                 else:
-                    arrays.append(pa.nulls(t.num_rows, field.type))
+                    arrays.append(pa.nulls(len(bucket), field.type))
             return pa.Table.from_arrays(arrays, schema=unified)
         return f
 

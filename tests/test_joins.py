@@ -145,6 +145,46 @@ def test_asof_join_matches_pandas_and_duckdb():
     assert got["px"].fillna(-1).tolist() == dk["px"].fillna(-1).tolist()
 
 
+def test_salted_hash_join_equals_unsalted_on_skewed_keys():
+    """Hot-key salting (left rows spread over salt sub-buckets, hot right
+    rows replicated) must be invisible in the result: equality with the
+    unsalted join and with pandas merge on a 60%-one-key skew."""
+    rng = np.random.RandomState(5)
+    n = 4000
+    keys = np.where(rng.uniform(size=n) < 0.6, 7,
+                    rng.randint(0, 200, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "a": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 200, dtype=np.int64)})
+    right["b"] = right["k"] * 3
+
+    got = hash_join(_ds(left), _ds(right), on="k", num_partitions=8,
+                    hot_keys=[7], salt=4).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    key = lambda df: sorted(map(tuple, df[["k", "a", "b"]].to_numpy()))
+    assert key(got) == key(want)
+    assert got["k"].dtype == np.int64
+
+    # left-outer with a hot key that has NO right match keeps its rows
+    right2 = right[right["k"] != 7]
+    got2 = hash_join(_ds(left), _ds(right2), on="k", how="left",
+                     num_partitions=8, hot_keys=[7], salt=4).to_pandas()
+    want2 = left.merge(right2, on="k", how="left")
+    assert len(got2) == len(want2)
+    assert got2["b"].isna().sum() == want2["b"].isna().sum()
+
+
+def test_detect_hot_keys_finds_planted_skew():
+    from hyperion_crawler_ray.stages.joins import detect_hot_keys
+    rng = np.random.RandomState(9)
+    n = 20000
+    keys = np.where(rng.uniform(size=n) < 0.5, 42,
+                    rng.randint(1000, 9000, n)).astype(np.int64)
+    ds = _ds(pd.DataFrame({"k": keys}))
+    hot = detect_hot_keys(ds, "k", sample_frac=0.25, threshold=0.05, seed=1)
+    assert hot == [42]
+
+
 def test_range_join_matches_pandas_and_duckdb():
     """Range (interval-containment) join: every right interval
     [lo, hi] containing the left row's value, per key. Oracled against
