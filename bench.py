@@ -32,8 +32,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "pricing_summary", "nested_derived", "dedup_first_wins", "latest_per_key",
     "hash_join", "broadcast_join", "grouped_preagg", "upsert_merge",
-    "windows", "session_window", "exact_dedup_docs", "quality_score",
-    "token_count", "minhash_lsh", "simhash", "ann_topk", "ngram_jaccard",
+    "windows", "window_functions", "exact_dedup_docs", "quality_score",
+    "token_count", "neardup_pairs", "text_scores", "ann_topk",
+    "ngram_jaccard", "tfidf_topterms",
 ]
 
 

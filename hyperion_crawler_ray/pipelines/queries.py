@@ -151,17 +151,25 @@ FROM orders
 
 
 def q_events_enrich(sf_dir):
-    """D-4 whitelist + T-2 clean_numeric + §2.8 categorical map chained
-    over events (merged round 2)."""
-    ds = _t(sf_dir, "events", ["event_id", "event_type", "props"])
+    """D-4 whitelist + T-2 clean_numeric + §2.8 categorical map + T-5
+    apply_default_values chained over events (merged round 2/2b)."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "props", "value"])
     ds = tr.whitelist(ds, "event_type", ["purchase", "signup", "click",
                                          "view"])
     ds = tr.clean_numeric(ds, "props", "k_value")
     mapping = {"purchase": 5, "signup": 4, "click": 3, "view": 2, "error": 1}
     ds = tr.categorical_map(ds, "event_type", "type_score", mapping,
                             default=0)
+
+    def make_nulls(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        v = pc.if_else(pc.less(v, 50.0), pa.scalar(None, pa.float64()), v)
+        return t.set_column(t.schema.get_field_index("value"), "value", v)
+
+    ds = ds.map_batches(make_nulls, batch_format="pyarrow")
+    ds = tr.apply_defaults(ds, {"value": -1.0})
     return ds.select_columns(["event_id", "event_type", "k_value",
-                              "type_score"])
+                              "type_score", "value"])
 
 
 SQL_EVENTS_ENRICH = """
@@ -169,7 +177,8 @@ SELECT event_id, event_type,
        CAST(regexp_replace(props, '[^0-9.\\-]', '', 'g') AS DOUBLE) AS k_value,
        CASE event_type WHEN 'purchase' THEN 5 WHEN 'signup' THEN 4
             WHEN 'click' THEN 3 WHEN 'view' THEN 2 WHEN 'error' THEN 1
-            ELSE 0 END AS type_score
+            ELSE 0 END AS type_score,
+       coalesce(CASE WHEN value < 50 THEN NULL ELSE value END, -1.0) AS value
 FROM events WHERE event_type IN ('purchase', 'signup', 'click', 'view')
 """
 
@@ -218,24 +227,6 @@ FROM lineitem
 """
 
 
-def q_coalesce_defaults(sf_dir):
-    """T-5 apply_default_values (nulls constructed deterministically)."""
-    ds = _t(sf_dir, "events", ["event_id", "value"])
-
-    def make_nulls(t: pa.Table) -> pa.Table:
-        v = t.column("value")
-        v = pc.if_else(pc.less(v, 50.0), pa.scalar(None, pa.float64()), v)
-        return t.set_column(t.schema.get_field_index("value"), "value", v)
-
-    ds = ds.map_batches(make_nulls, batch_format="pyarrow")
-    return tr.apply_defaults(ds, {"value": -1.0})
-
-
-SQL_COALESCE = """
-SELECT event_id,
-       coalesce(CASE WHEN value < 50 THEN NULL ELSE value END, -1.0) AS value
-FROM events
-"""
 
 
 def q_conditional_scale(sf_dir):
@@ -340,34 +331,40 @@ SELECT user_id, event_id, value FROM (
 """
 
 
-def q_global_latest(sf_dir):
-    """A-3 global max-then-filter (latest trade date analog)."""
+def q_topk_latest(sf_dir):
+    """O-1/O-2 deterministic top-k + A-3 global max-then-filter (latest
+    trade date analog), merged round 2b over orders and distinguished by
+    ``op``."""
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def tag(v: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("op",
+                                   pa.array([v] * t.num_rows, pa.string()))
+        return f
+
+    topk = ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10) \
+        .select_columns(["o_orderkey", "o_totalprice"]) \
+        .map_batches(tag("topk"), batch_format="pyarrow")
+
     latest = ds.max("o_orderdate")
 
     def f(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column("o_orderdate"), latest))
 
-    return ds.map_batches(f, batch_format="pyarrow") \
-             .select_columns(["o_orderkey", "o_totalprice"])
+    glob = ds.map_batches(f, batch_format="pyarrow") \
+             .select_columns(["o_orderkey", "o_totalprice"]) \
+             .map_batches(tag("latest"), batch_format="pyarrow")
+    return topk.union(glob)
 
 
-SQL_GLOBAL_LATEST = """
-SELECT o_orderkey, o_totalprice FROM orders
-WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
-"""
-
-
-def q_topk(sf_dir):
-    """O-1/O-2 deterministic top-k."""
-    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(10)
-
-
-SQL_TOPK = """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+SQL_TOPK_LATEST = """
+(SELECT o_orderkey, o_totalprice, 'topk' AS op FROM orders
+ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+UNION ALL
+(SELECT o_orderkey, o_totalprice, 'latest' AS op FROM orders
+ WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders))
 """
 
 
@@ -479,14 +476,25 @@ GROUP BY o.o_orderstatus
 
 
 def q_consensus(sf_dir):
-    """A-1 grouped consensus (mean/count/min/max)."""
+    """A-1 grouped consensus (mean/count/min/max) + exact grouped
+    quantiles (p50/p90, linear interpolation = SQL quantile_cont),
+    merged round 2b via a broadcast-free key join (5 keys -> the
+    distributed hash join would be overkill; both sides are tiny
+    aggregates, so a pandas merge on the collected aggregate rows is
+    driver-side-small by construction)."""
     ds = _t(sf_dir, "events", ["event_type", "value"])
-    return agg.grouped_consensus(ds, "event_type", "value")
+    cons = agg.grouped_consensus(ds, "event_type", "value").to_pandas()
+    quants = agg.grouped_quantiles(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", {"p50": 0.5, "p90": 0.9}).to_pandas()
+    return cons.merge(quants, on="event_type")
 
 
 SQL_CONSENSUS = """
 SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n,
-       min(value) AS min_value, max(value) AS max_value
+       min(value) AS min_value, max(value) AS max_value,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
 FROM events GROUP BY event_type
 """
 
@@ -515,6 +523,176 @@ def q_grouped_preagg(sf_dir):
 SQL_GROUPED_PREAGG = """
 SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_window_functions(sf_dir):
+    """SQL window-function family (round 2b: Ray Data has no OVER
+    clause, so stages/windows.py::key_window_funcs composes it as
+    key-hash co-group + per-bucket vectorized pandas): row_number, lag,
+    lead, exact running sum (integer cents), trailing-3 mean, rank and
+    dense_rank per user_id ordered by (ts, event_id)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return win.key_window_funcs(ds, "user_id", ["ts", "event_id"],
+                                "value", id_col="event_id", roll_n=3)
+
+
+SQL_WINDOW_FUNCS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(value) OVER w AS lag_value,
+       lead(value) OVER w AS lead_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS 2 PRECEDING) AS DOUBLE)
+             / (least(CAST(row_number() OVER w AS BIGINT), 3) * 100.0), 4)
+         AS roll3_mean,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT)
+         AS rank_value,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value)
+            AS BIGINT) AS dense_rank_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_set_ops(sf_dir):
+    """Distributed INTERSECT / EXCEPT (round 2b, stages/setops.py —
+    presence-bit groupby, no join, no driver materialization): users who
+    both purchased and clicked, and users who purchased but never hit an
+    error."""
+    from ..stages import setops as so
+
+    def typed(t):
+        return _t(sf_dir, "events", ["user_id", "event_type"]) \
+            .filter(expr=f"event_type == '{t}'") \
+            .map_batches(lambda b: b.select(["user_id"]),
+                         batch_format="pyarrow")
+
+    def tag(v: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("op",
+                                   pa.array([v] * t.num_rows, pa.string()))
+        return f
+
+    inter = so.intersect_distinct(typed("purchase"), typed("click"),
+                                  ["user_id"]) \
+        .map_batches(tag("intersect"), batch_format="pyarrow")
+    exc = so.except_distinct(typed("purchase"), typed("error"),
+                             ["user_id"]) \
+        .map_batches(tag("except"), batch_format="pyarrow")
+    return inter.union(exc)
+
+
+SQL_SET_OPS = """
+SELECT user_id, 'intersect' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click')
+UNION ALL
+SELECT user_id, 'except' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error')
+"""
+
+
+def q_stratified_sample(sf_dir):
+    """O-3 deterministic stratified sampling (round 2b,
+    stages/sampling.py): 5 rows per event_type ranked by a Knuth
+    multiplicative hash of event_id — a pure function of the data, so
+    the very same rows fall out of the SQL oracle."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type"])
+    return stratified_sample(ds, "event_type", "event_id", 5) \
+        .map_batches(lambda t: t.select(["event_type", "event_id"]),
+                     batch_format="pyarrow")
+
+
+SQL_STRATIFIED = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+  FROM events) WHERE rn <= 5
+"""
+
+
+def q_asof_range_join(sf_dir):
+    """AS-OF + RANGE join drivers (round 2b; operators landed earlier in
+    stages/joins.py with pytest oracles — this surfaces them to the
+    driver's DuckDB check): per user, the latest click at-or-before each
+    purchase (ASOF), and each purchase's value binned into static bands
+    (RANGE), unified as (op, event_id, match)."""
+    ev = ["event_id", "user_id", "ts", "event_type", "value"]
+
+    def side(t, cols_map):
+        def f(tab: pa.Table) -> pa.Table:
+            return pa.table({out: tab.column(src)
+                             for out, src in cols_map.items()})
+        return _t(sf_dir, "events", ev) \
+            .filter(expr=f"event_type == '{t}'") \
+            .map_batches(f, batch_format="pyarrow")
+
+    left = side("purchase", {"user_id": "user_id", "ts": "ts",
+                             "event_id": "event_id"})
+    right = side("click", {"user_id": "user_id", "ts": "ts",
+                           "click_id": "event_id"})
+    asof = jn.asof_join(left, right, key="user_id", ts="ts",
+                        num_partitions=8)
+
+    def asof_rows(t: pa.Table) -> pa.Table:
+        # asof_join is LEFT semantics; DuckDB ASOF JOIN is inner —
+        # drop unmatched left rows to align
+        t = t.filter(pc.is_valid(t.column("click_id")))
+        return pa.table({
+            "op": pa.array(["asof"] * t.num_rows, pa.string()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "match": t.column("click_id").cast(pa.int64()),
+        })
+
+    bands = rd.from_items([
+        {"band": 0, "lo": 0.0, "hi": 99.995},
+        {"band": 1, "lo": 99.995, "hi": 249.995},
+        {"band": 2, "lo": 249.995, "hi": 1e9},
+    ]).map_batches(lambda t: t.append_column(
+        "k", pa.array([1] * t.num_rows, pa.int64())), batch_format="pyarrow")
+    vals = side("purchase", {"event_id": "event_id", "value": "value"}) \
+        .map_batches(lambda t: t.append_column(
+            "k", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    rng = jn.range_join(vals, bands, key="k", left_val="value",
+                        right_lo="lo", right_hi="hi", num_partitions=1)
+
+    def rng_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "op": pa.array(["range"] * t.num_rows, pa.string()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "match": t.column("band").cast(pa.int64()),
+        })
+
+    return asof.map_batches(asof_rows, batch_format="pyarrow").union(
+        rng.map_batches(rng_rows, batch_format="pyarrow"))
+
+
+SQL_ASOF_RANGE = """
+SELECT 'asof' AS op, p.event_id, c.click_id AS match
+FROM (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, event_id AS click_id FROM events
+           WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+UNION ALL
+SELECT 'range' AS op, e.event_id, b.band AS match
+FROM events e JOIN (VALUES (0, 0.0, 99.995), (1, 99.995, 249.995),
+                           (2, 249.995, 1e9)) b(band, lo, hi)
+  ON e.value >= b.lo AND e.value <= b.hi
+WHERE e.event_type = 'purchase'
 """
 
 
@@ -580,8 +758,10 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 # =========================================================================
 
 def q_windows(sf_dir):
-    """§2.9 tumbling + sliding (hopping) windows over the events log
-    (merged round 2), distinguished by ``win_kind``."""
+    """§2.9 tumbling + sliding (hopping) + session windows over the
+    events log (merged round 2/2b), distinguished by ``win_kind``.
+    Session starts render with time-of-day; tumbling/sliding with the
+    day boundary."""
     ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
 
     def kind(v: str):
@@ -595,7 +775,24 @@ def q_windows(sf_dir):
     slid = win.sliding_window(ds, "ts", "event_type", "value",
                               window_days=2, slide_days=1) \
         .map_batches(kind("sliding"), batch_format="pyarrow")
-    return _round_col(tumb.union(slid), {"sum_value": 2})
+
+    sess = win.session_windows(ds, "ts", "event_type", gap_minutes=30,
+                               value="value")
+
+    def sess_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_start": pd.to_datetime(df["session_start_us"],
+                                           unit="us")
+            .dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "n": df["n_events"].astype("int64"),
+            "sum_value": df["sum_value"],
+            "win_kind": "session",
+        })
+
+    sess = sess.map_batches(sess_rows, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    return _round_col(tumb.union(slid).union(sess), {"sum_value": 2})
 
 
 SQL_WINDOWS = """
@@ -611,28 +808,21 @@ SELECT event_type,
        'sliding' AS win_kind
 FROM events CROSS JOIN (SELECT 0 AS h UNION ALL SELECT 1) hop
 GROUP BY event_type, window_start
-"""
-
-
-def q_session_window(sf_dir):
-    ds = _t(sf_dir, "events", ["user_id", "ts"])
-    return win.session_windows(ds, "ts", "user_id", gap_minutes=30)
-
-
-SQL_SESSION = """
-WITH marked AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-  FROM events),
-sessions AS (
-  SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+UNION ALL
+SELECT event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value,
+       'session' AS win_kind
+FROM (
+  SELECT event_type, ts, value,
+         sum(brk) OVER (PARTITION BY event_type ORDER BY ts
                         ROWS UNBOUNDED PRECEDING) AS sid
-  FROM marked)
-SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
-       count(*) AS n_events
-FROM sessions GROUP BY user_id, sid
+  FROM (
+    SELECT event_type, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+    FROM events))
+GROUP BY event_type, sid
 """
 
 
@@ -666,14 +856,19 @@ FROM documents GROUP BY md5(text)
 
 
 def q_token_count(sf_dir):
+    """Whitespace token count + md5-prefix fingerprint in one pass
+    (merged round 2b)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return tx.token_count(ds, "text").select_columns(["doc_id", "n_tokens"])
+    ds = tx.token_count(ds, "text")
+    return tx.fingerprint(ds, "text").select_columns(
+        ["doc_id", "n_tokens", "fingerprint"])
 
 
 SQL_TOKEN_COUNT = """
 SELECT doc_id,
        CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-         AS n_tokens
+         AS n_tokens,
+       substring(md5(text), 1, 8) AS fingerprint
 FROM documents
 """
 
@@ -699,14 +894,6 @@ FROM toks
 """
 
 
-def q_fingerprint(sf_dir):
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return tx.fingerprint(ds, "text").select_columns(["doc_id", "fingerprint"])
-
-
-SQL_FINGERPRINT = """
-SELECT doc_id, substring(md5(text), 1, 8) AS fingerprint FROM documents
-"""
 
 
 def q_ngram_jaccard(sf_dir):
@@ -746,6 +933,72 @@ SELECT d1.doc_id AS doc_id,
            6) AS jaccard
 FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
 """
+
+
+def q_tfidf_topterms(sf_dir):
+    """Corpus TF-IDF, top-3 terms per document (round 2b,
+    stages/text.py::tfidf_top_terms — two shuffles, zero joins: df
+    attaches inside the term co-group). N comes from the parquet footer
+    (metadata-only, no scan)."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tx.tfidf_top_terms(ds, "doc_id", "text", n_docs=n_docs, k=3)
+
+
+SQL_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT count(*) FROM documents)
+                          / CAST(count(*) OVER (PARTITION BY tf.term)
+                                 AS DOUBLE)), 6) AS tfidf
+  FROM tf),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+def q_sequence_pack(sf_dir):
+    """LLM-training sequence packing (round 2b, stages/packing.py):
+    greedy fixed-budget packing of documents by whitespace token count,
+    deterministic at any parallelism (doc_id-hash packing domains).
+    Rows-only: greedy reset-on-overflow is stateful-sequential and not
+    plain-SQL-expressible; tests/test_stages.py holds the
+    single-threaded oracle + invariants."""
+    from ..stages.packing import pack_sequences
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    ds = tx.token_count(ds, "text").select_columns(["doc_id", "n_tokens"])
+    packed = pack_sequences(ds, "doc_id", "n_tokens", budget=512,
+                            num_buckets=16)
+
+    def drop_list(t: pa.Table) -> pa.Table:
+        # driver hashes values; keep the scalar columns + a stable
+        # digest of the doc list instead of the raw list column
+        import hashlib as _h
+        digests = [_h.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
+                   for ids in t.column("doc_ids").to_pylist()]
+        return pa.table({
+            "bucket": t.column("bucket"),
+            "pack_seq": t.column("pack_seq"),
+            "n_docs": t.column("n_docs"),
+            "pack_tokens": t.column("pack_tokens"),
+            "docs_digest": pa.array(digests, pa.string()),
+        })
+
+    return packed.map_batches(drop_list, batch_format="pyarrow")
 
 
 # =========================================================================
@@ -806,24 +1059,40 @@ FROM embeddings GROUP BY label
 # multimodal
 # =========================================================================
 
-def q_minhash_lsh(sf_dir):
-    """MinHash+LSH near-dup candidate pairs, Jaccard-verified."""
+def q_neardup_pairs(sf_dir):
+    """Near-dup pair producers, merged round 2b: MinHash+LSH candidate
+    pairs Jaccard-verified over documents, and embedding-cosine LSH
+    pairs over embeddings, unified as (family, id_a, id_b, score) —
+    rows-only (sketch-based by design; planted-pair recall asserted in
+    tests/test_stages.py)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     sigs = dd.minhash_signatures(ds, "text", "doc_id", num_perm=64)
     pairs = dd.lsh_candidate_pairs(sigs, "doc_id", bands=16)
     docs = _t(sf_dir, "documents", ["doc_id", "text"], blocks=8)
-    return dd.jaccard_verify(pairs, docs, "doc_id", "text", threshold=0.5,
-                             num_partitions=8)
+    mh = dd.jaccard_verify(pairs, docs, "doc_id", "text", threshold=0.5,
+                           num_partitions=8)
 
+    def mh_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "family": pa.array(["minhash"] * t.num_rows, pa.string()),
+            "id_a": t.column("id_a").cast(pa.int64()),
+            "id_b": t.column("id_b").cast(pa.int64()),
+            "score": t.column("jaccard").cast(pa.float64()),
+        })
 
-def q_simhash(sf_dir):
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return dd.simhash_column(ds, "text").select_columns(["doc_id", "simhash"])
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ed = dd.embedding_near_dup(emb, "embedding", "vec_id", threshold=0.95)
 
+    def ed_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "family": pa.array(["embedding"] * t.num_rows, pa.string()),
+            "id_a": t.column("id_a").cast(pa.int64()),
+            "id_b": t.column("id_b").cast(pa.int64()),
+            "score": t.column("cos").cast(pa.float64()),
+        })
 
-def q_embedding_neardup(sf_dir):
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return dd.embedding_near_dup(ds, "embedding", "vec_id", threshold=0.95)
+    return mh.map_batches(mh_rows, batch_format="pyarrow").union(
+        ed.map_batches(ed_rows, batch_format="pyarrow"))
 
 
 def q_ivf_topk(sf_dir):
@@ -1086,10 +1355,11 @@ def q_text_scores(sf_dir):
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     ds = tx.bpe_ish_token_count(ds, "text")
     ds = tx.rolling_fingerprint(ds, "text")
+    ds = dd.simhash_column(ds, "text")
     ds = ds.map_batches(tx.LangId, batch_format="pandas", concurrency=2,
                         batch_size=2048, num_cpus=0.5)
     return ds.select_columns(["doc_id", "lang", "lang_pred",
-                              "n_bpe_tokens", "rhash"]) \
+                              "n_bpe_tokens", "rhash", "simhash"]) \
              .map_batches(lambda t: t, batch_format="pyarrow")
 
 
@@ -1145,7 +1415,6 @@ QUERIES = {
     "date_normalize": q_date_normalize,
     "map_fields": q_map_fields,
     "nested_derived": q_nested_derived,
-    "coalesce_defaults": q_coalesce_defaults,
     "conditional_scale": q_conditional_scale,
     "normalize_identifier": q_normalize_identifier,
     "validate_filter": q_validate_filter,
@@ -1153,20 +1422,22 @@ QUERIES = {
     "split_tokens": q_split_tokens,
     "dedup_first_wins": q_dedup_first_wins,
     "latest_per_key": q_latest_per_key,
-    "global_latest": q_global_latest,
-    "topk": q_topk,
+    "topk_latest": q_topk_latest,
     "distinct": q_distinct,
     "table_counts": q_table_counts,
+    "set_ops": q_set_ops,
+    "stratified_sample": q_stratified_sample,
     # joins
     "broadcast_join": q_broadcast_join,
     "semi_anti_join": q_semi_anti_join,
     "hash_join": q_hash_join,
+    "asof_range_join": q_asof_range_join,
     # aggregates / windows
     "consensus": q_consensus,
     "histogram": q_histogram,
     "grouped_preagg": q_grouped_preagg,
     "windows": q_windows,
-    "session_window": q_session_window,
+    "window_functions": q_window_functions,
     # merges / sources / config
     "upsert_merge": q_upsert_merge,
     "replace_partition": q_replace_partition,
@@ -1183,17 +1454,16 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
-    "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "text_scores": q_text_scores,
+    "tfidf_topterms": q_tfidf_topterms,
+    "sequence_pack": q_sequence_pack,
     # embeddings / ANN
     "ann_topk": q_ann_topk,
     "embedding_stats": q_embedding_stats,
     "ivf_topk": q_ivf_topk,
-    "embedding_neardup": q_embedding_neardup,
     # sketches / sampling / pipelines
-    "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
+    "neardup_pairs": q_neardup_pairs,
     "hll_distinct": q_hll_distinct,
     "sampled_validation": q_sampled_validation,
     "marketdata_pipeline": q_marketdata_pipeline,
@@ -1205,7 +1475,6 @@ ORACLE_SQL = {
     "date_normalize": SQL_DATE_NORMALIZE,
     "map_fields": SQL_MAP_FIELDS,
     "nested_derived": SQL_NESTED_DERIVED,
-    "coalesce_defaults": SQL_COALESCE,
     "conditional_scale": SQL_COND_SCALE,
     "normalize_identifier": SQL_NORM_ID,
     "validate_filter": SQL_VALIDATE,
@@ -1213,18 +1482,20 @@ ORACLE_SQL = {
     "split_tokens": SQL_SPLIT,
     "dedup_first_wins": SQL_DEDUP,
     "latest_per_key": SQL_LATEST_PER_KEY,
-    "global_latest": SQL_GLOBAL_LATEST,
-    "topk": SQL_TOPK,
+    "topk_latest": SQL_TOPK_LATEST,
     "distinct": SQL_DISTINCT,
     "table_counts": SQL_COUNTS,
+    "set_ops": SQL_SET_OPS,
+    "stratified_sample": SQL_STRATIFIED,
     "broadcast_join": SQL_BCAST_JOIN,
     "semi_anti_join": SQL_SEMI_ANTI_JOIN,
     "hash_join": SQL_HASH_JOIN,
+    "asof_range_join": SQL_ASOF_RANGE,
     "consensus": SQL_CONSENSUS,
     "histogram": SQL_HISTOGRAM,
     "grouped_preagg": SQL_GROUPED_PREAGG,
     "windows": SQL_WINDOWS,
-    "session_window": SQL_SESSION,
+    "window_functions": SQL_WINDOW_FUNCS,
     "upsert_merge": SQL_UPSERT,
     "replace_partition": SQL_REPLACE,
     "daterange_pushdown": SQL_DATERANGE,
@@ -1235,8 +1506,8 @@ ORACLE_SQL = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY,
-    "fingerprint": SQL_FINGERPRINT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "tfidf_topterms": SQL_TFIDF,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_stats": SQL_EMBEDDING_STATS,
 }

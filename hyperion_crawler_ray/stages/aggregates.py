@@ -90,6 +90,34 @@ def grouped_histogram(ds: rd.Dataset, key: str, value: str,
     )
 
 
+def grouped_quantiles(ds: rd.Dataset, key: str, value: str,
+                      qs: dict[str, float],
+                      round_to: int = 6) -> rd.Dataset:
+    """Exact per-key quantiles (linear interpolation — matches SQL
+    ``quantile_cont``). ``qs``: {out_col: q in [0,1]}.
+
+    Shape: groupby(key).map_groups with a numpy quantile per group.
+    Partitioning assumption: one key's values fit a task (exact
+    quantiles are holistic — they need the whole group; for sketch-sized
+    state at unbounded group size, use a t-digest-style mergeable sketch
+    instead, same combiner shape as stages/sketches.py HLL)."""
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value].to_numpy(dtype=np.float64)
+        row = {key: [df[key].iloc[0]]}
+        for out, q in qs.items():
+            x = float(np.quantile(v, q))
+            row[out] = [np.floor(abs(x) * 10**round_to + 0.5)
+                        / 10**round_to * (1 if x >= 0 else -1)]
+        return pd.DataFrame(row)
+
+    return (
+        ds.groupby(key)
+        .map_groups(per_group, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+
 def table_counts(paths: dict[str, str]) -> pd.DataFrame:
     """A-4 stage-boundary counters: metadata-only row counts per table
     (parquet footer reads — no data scan)."""

@@ -316,10 +316,14 @@ def embedding_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
         sims = unit @ unit.T
         ids = df[id_col].to_numpy()
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        # half-away-from-zero (repo oracle convention; np.round is
+        # banker's and disagrees on exact ties)
+        cos = np.floor(np.abs(sims[ia, ib]) * 1e6 + 0.5) / 1e6 \
+            * np.sign(sims[ia, ib])
         return pd.DataFrame({
             "id_a": np.minimum(ids[ia], ids[ib]),
             "id_b": np.maximum(ids[ia], ids[ib]),
-            "cos": np.round(sims[ia, ib], 6),
+            "cos": cos,
         })
 
     def pre_dedup(df: pd.DataFrame) -> pd.DataFrame:

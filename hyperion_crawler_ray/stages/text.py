@@ -149,3 +149,87 @@ def rolling_fingerprint(ds: rd.Dataset, text_col: str,
         return t.append_column(out, pa.array(outv, pa.uint64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (corpus-level statistic -> per-doc ranking)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(ds: rd.Dataset, id_col: str, text_col: str,
+                    n_docs: int, k: int = 3,
+                    round_to: int = 6) -> rd.Dataset:
+    """Top-``k`` TF-IDF terms per document. tfidf = tf * ln(N / df),
+    no smoothing (expressible verbatim in SQL for the oracle).
+
+    Shape — two shuffles, ZERO joins:
+      1. per-batch explode to (doc, term, tf) via one Arrow
+         split_pattern_regex + a pandas (doc, term) size-groupby
+         (the per-batch combiner: duplicate terms collapse before any
+         shuffle);
+      2. groupby(term) co-locates each term's postings; df = group row
+         count, so idf attaches WITHOUT a doc-frequency join;
+      3. groupby(doc) ranks terms and keeps k.
+    ``n_docs`` is passed in (a metadata-only count at the caller — a
+    parquet footer read, not a scan). Skew note: ubiquitous terms
+    (stopwords) make hot groups in step 2; at corpus scale, cap df
+    tracking by dropping terms whose in-batch df already exceeds a
+    threshold (they rank last anyway — idf -> 0), which bounds the hot
+    groups before the shuffle.
+
+    Ordering contract (oracle-stable): rank by ROUNDED tfidf desc, then
+    term asc — ranking on the rounded value keeps Ray and SQL in the
+    same order even when two raw doubles differ below round_to digits.
+    """
+    lg_n = float(n_docs)
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy()
+        ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False),
+                        lens)
+        df = pd.DataFrame({id_col: ids, "term": flat})
+        df = df[df["term"] != ""]
+        g = df.groupby([id_col, "term"], as_index=False, sort=False) \
+              .size().rename(columns={"size": "tf"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # coarse buckets, not raw term/doc groups: map_groups pays per-GROUP
+    # Python overhead, so at vocab/corpus cardinality we group by a
+    # 64-way hash bucket and do the per-key work vectorized inside
+    # (pandas transform) — the same 10-30x trick as stages/dedup.py
+    def bucket_by(col: str, nb: int = 64):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                __tb=(pd.util.hash_array(df[col].to_numpy()) % nb)
+                .astype(np.int32))
+        return f
+
+    def idf_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("term", sort=False)[id_col].transform("size") \
+            .to_numpy(dtype=np.float64)
+        x = df["tf"].to_numpy(dtype=np.float64) * np.log(lg_n / dfreq)
+        tfidf = (np.floor(np.abs(x) * 10**round_to + 0.5)
+                 / 10**round_to) * np.sign(x)
+        return pd.DataFrame({id_col: df[id_col], "term": df["term"],
+                             "tfidf": tfidf})
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "tfidf", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby(id_col, sort=False).head(k).reset_index(drop=True)
+        df["rn"] = df.groupby(id_col, sort=False).cumcount() + 1
+        return df.drop(columns="__tb")
+
+    return (
+        ds.map_batches(explode_tf, batch_format="pyarrow")
+        .map_batches(bucket_by("term"), batch_format="pandas")
+        .groupby("__tb")
+        .map_groups(idf_bucket, batch_format="pandas")
+        .map_batches(bucket_by(id_col), batch_format="pandas")
+        .groupby("__tb")
+        .map_groups(topk_bucket, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )

@@ -59,8 +59,81 @@ def sliding_window(ds: rd.Dataset, ts_col: str, key: str, value: str,
     )
 
 
+def key_window_funcs(ds: rd.Dataset, key: str, order_by: list[str],
+                     value: str, id_col: str, roll_n: int = 3,
+                     num_buckets: int = 32) -> rd.Dataset:
+    """SQL-window-function family over a keyed log — Ray Data has no
+    ``OVER (PARTITION BY ... ORDER BY ...)``, so this composes it as
+    hash-partition by key (coarse ``num_buckets`` so ``map_groups`` pays
+    per-bucket, not per-key, Python overhead) -> per-bucket vectorized
+    pandas pass computing, per key in ``order_by`` order:
+
+    - ``rn``          row_number()
+    - ``lag_value``   lag(value, 1)
+    - ``lead_value``  lead(value, 1)
+    - ``cum_cents``   running sum of round(value*100) as int64 — integer
+      cents so the running sum is EXACT and never drifts from a SQL
+      engine's float summation order
+    - ``roll{n}_mean`` trailing-``roll_n``-row mean (current + n-1
+      preceding), computed from the exact cents sum
+    - ``rank_value`` / ``dense_rank_value``  rank of ``value`` within
+      the key (ties: min / dense)
+
+    Partitioning assumption: one key's rows fit a task (same contract as
+    asof_join, joins.py:269); window semantics never cross keys, so
+    key-hash bucketing is lossless."""
+    roll_col = f"roll{roll_n}_mean"
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __wb=(pd.util.hash_array(df[key].to_numpy()) % num_buckets)
+            .astype(np.int32))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_by], kind="mergesort") \
+               .reset_index(drop=True)
+        g = df.groupby(key, sort=False)
+        v = df[value].to_numpy()
+        cents = (np.floor(np.abs(v) * 100.0 + 0.5)
+                 * np.sign(v)).astype(np.int64)
+        df["__cents"] = cents
+        gc = df.groupby(key, sort=False)["__cents"]
+        cum = gc.cumsum()
+        rn = (g.cumcount() + 1).astype(np.int64)
+        # trailing-window sum from the exact cents cumsum: cum[i] minus
+        # the per-key cum shifted roll_n back (positionally aligned —
+        # groups are contiguous after the sort)
+        cum_back = df.assign(__cum=cum).groupby(key, sort=False)["__cum"] \
+            .shift(roll_n).fillna(0).astype(np.int64)
+        roll_sum = cum.to_numpy() - cum_back.to_numpy()
+        roll_cnt = np.minimum(rn.to_numpy(), roll_n)
+        roll_mean = roll_sum / (roll_cnt * 100.0)
+        roll_mean = (np.floor(np.abs(roll_mean) * 1e4 + 0.5)
+                     * np.sign(roll_mean)) / 1e4
+        return pd.DataFrame({
+            id_col: df[id_col],
+            key: df[key],
+            "rn": rn,
+            "lag_value": g[value].shift(1),
+            "lead_value": g[value].shift(-1),
+            "cum_cents": cum.astype(np.int64),
+            roll_col: roll_mean,
+            "rank_value": g[value].rank(method="min").astype(np.int64),
+            "dense_rank_value": g[value].rank(method="dense")
+            .astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+
 def session_windows(ds: rd.Dataset, ts_col: str, key: str,
-                    gap_minutes: int = 30) -> rd.Dataset:
+                    gap_minutes: int = 30,
+                    value: str | None = None) -> rd.Dataset:
     """Session windows per key: a new session starts when the gap to the
     previous event exceeds ``gap_minutes``. Emits (key, session_start_us,
     n_events). Ordering assumption: events sorted by ts WITHIN each
@@ -78,12 +151,16 @@ def session_windows(ds: rd.Dataset, ts_col: str, key: str,
         df = df.assign(__sid=sid)
         g = df.groupby("__sid", sort=True)
         out = g.agg(session_start=(ts_col, "min"), n_events=(ts_col, "size"))
+        cols = [key, "session_start_us", "n_events"]
+        if value is not None:
+            out["sum_value"] = g[value].sum().to_numpy()
+            cols.append("sum_value")
         out[key] = df[key].iloc[0]
         # robust across pandas datetime64 resolutions (ns vs us)
         out["session_start_us"] = (
             out["session_start"].to_numpy(dtype="datetime64[us]")
             .astype("int64"))
-        return out[[key, "session_start_us", "n_events"]].reset_index(drop=True)
+        return out[cols].reset_index(drop=True)
 
     return (
         ds.groupby(key)

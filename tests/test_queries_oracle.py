@@ -36,7 +36,7 @@ def test_query_matches_oracle(name, con):
 def test_rows_only_queries_run(name):
     got = to_pandas(QUERIES[name](SF_DIR))
     assert len(got) >= 0
-    if name in ("simhash", "text_scores"):
+    if name == "text_scores":
         assert len(got) == 500  # one row per document
     if name == "multimodal_pipeline":
         assert set(got.columns) == {"media_id", "artifact", "meta_a",
