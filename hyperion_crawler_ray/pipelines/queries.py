@@ -1364,14 +1364,32 @@ def q_text_scores(sf_dir):
 
 
 def q_hll_distinct(sf_dir):
-    """HyperLogLog approximate distinct users per event_type (mergeable
-    sketch combiner; deterministic estimate at any parallelism).
-    Rows-only: the estimate is approximate by design — accuracy vs exact
-    distinct is asserted in tests/test_sketches.py."""
-    from ..stages.sketches import hll_distinct
+    """Mergeable-sketch bundle, self-validating (round 2b): HyperLogLog
+    distinct users and DDSketch p50/p90 value quantiles per event_type,
+    each next to its EXACT distributed counterpart so the driver row
+    records accuracy, not just shape. Rows-only: estimates are
+    approximate by design (HLL ~1.6% at p=12, DDSketch ±1% relative);
+    hard accuracy bounds asserted in tests/test_sketches.py."""
+    from ..stages.sketches import dd_quantiles, hll_distinct
 
-    ds = _t(sf_dir, "events", ["event_type", "user_id"])
-    return hll_distinct(ds, "event_type", "user_id")
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
+    approx = hll_distinct(ds, "event_type", "user_id")
+
+    # exact distinct, distributed: distinct (key, user) pairs -> count
+    exact = _t(sf_dir, "events", ["event_type", "user_id"]) \
+        .groupby(["event_type", "user_id"]).count() \
+        .groupby("event_type").count() \
+        .to_pandas().rename(columns={"count()": "exact_distinct"})
+    qest = dd_quantiles(_t(sf_dir, "events", ["event_type", "value"]),
+                        "event_type", "value",
+                        {"p50_est": 0.5, "p90_est": 0.9})
+    qexact = agg.grouped_quantiles(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", {"p50_exact": 0.5, "p90_exact": 0.9}) \
+        .to_pandas()
+    out = approx.merge(exact, on="event_type") \
+        .merge(qest, on="event_type").merge(qexact, on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def q_sampled_validation(sf_dir):

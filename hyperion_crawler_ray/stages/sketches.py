@@ -94,3 +94,102 @@ def hll_distinct(ds: rd.Dataset, key: str, value: str,
         .map_groups(merge_group, batch_format="pandas")
     )
     return out.to_pandas().sort_values(key).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style quantile sketch (Masson/Rim/Lee, VLDB 2019 — public
+# algorithm): log-spaced bins with FIXED boundaries, so the sketch is
+# commutative, associative and fully deterministic under any merge order
+# (unlike t-digest) — estimates are a pure function of the value multiset
+# at any parallelism. Relative-error guarantee: the returned quantile is
+# within a factor of gamma = (1+alpha)/(1-alpha) of the true value.
+# ---------------------------------------------------------------------------
+
+
+class DDSketch:
+    """Positive-value DDSketch with contiguous bin storage.
+
+    Bin index for x>0 is ceil(log(x)/log(gamma)); values <= min_value
+    land in a dedicated zero bin. State is one small int64 count vector,
+    mergeable by elementwise sum — the combiner-before-shuffle shape."""
+
+    def __init__(self, alpha: float = 0.01, min_value: float = 1e-9,
+                 max_bins: int = 2048,
+                 counts: np.ndarray | None = None, zero: int = 0):
+        self.alpha = alpha
+        self.gamma = (1 + alpha) / (1 - alpha)
+        self.lg = np.log(self.gamma)
+        self.min_value = min_value
+        self.offset = int(np.ceil(np.log(min_value) / self.lg))
+        self.max_bins = max_bins
+        self.counts = (counts if counts is not None
+                       else np.zeros(max_bins, dtype=np.int64))
+        self.zero = zero
+
+    def add(self, x: np.ndarray) -> None:
+        x = np.asarray(x, dtype=np.float64)
+        small = x <= self.min_value
+        self.zero += int(small.sum())
+        pos = x[~small]
+        if len(pos):
+            idx = np.ceil(np.log(pos) / self.lg).astype(np.int64) - self.offset
+            idx = np.clip(idx, 0, self.max_bins - 1)
+            np.add.at(self.counts, idx, 1)
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        return DDSketch(self.alpha, self.min_value, self.max_bins,
+                        self.counts + other.counts, self.zero + other.zero)
+
+    def quantile(self, q: float) -> float:
+        total = self.zero + int(self.counts.sum())
+        if total == 0:
+            return float("nan")
+        rank = q * (total - 1)
+        if rank < self.zero:
+            return 0.0
+        cum = self.zero + np.cumsum(self.counts)
+        i = int(np.searchsorted(cum, rank, side="right"))
+        i = min(i, self.max_bins - 1)
+        # bin i covers (gamma^(i+offset-1), gamma^(i+offset)]; midpoint
+        # estimate = 2*gamma^b/(gamma+1) is within alpha relative error
+        b = i + self.offset
+        return float(2.0 * self.gamma ** b / (self.gamma + 1.0))
+
+
+def dd_quantiles(ds: rd.Dataset, key: str, value: str,
+                 qs: dict[str, float], alpha: float = 0.01) -> pd.DataFrame:
+    """Approximate per-key quantiles via mergeable DDSketch partials:
+    one (key, counts) row per (key, batch) leaves each map task, the
+    groupby merges by vector sum, estimates come out per key. The scale
+    path promised by aggregates.grouped_quantiles — sketch state is
+    O(bins), not O(group rows), so unbounded groups stream. Returns a
+    small DataFrame (key, *qs)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_keys, out_counts, out_zero = [], [], []
+        for k, g in df.groupby(key, sort=False):
+            sk = DDSketch(alpha)
+            sk.add(g[value].to_numpy())
+            out_keys.append(k)
+            out_counts.append(sk.counts.tobytes())
+            out_zero.append(sk.zero)
+        return pd.DataFrame({key: out_keys, "cnt": out_counts,
+                             "zero": out_zero})
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        acc = DDSketch(alpha)
+        for raw, z in zip(df["cnt"], df["zero"]):
+            acc = acc.merge(DDSketch(
+                alpha, counts=np.frombuffer(raw, dtype=np.int64).copy(),
+                zero=int(z)))
+        row = {key: [df[key].iloc[0]]}
+        for out, q in qs.items():
+            row[out] = [acc.quantile(q)]
+        return pd.DataFrame(row)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values(key).reset_index(drop=True)

@@ -160,3 +160,28 @@ def test_tfidf_top_terms_matches_manual():
     got3 = out[out["doc_id"] == 3].sort_values("rn")["term"].tolist()
     assert got3 == ["date", "egg"]
     assert (out.groupby("doc_id")["rn"].max() <= 2).all()
+
+
+def test_dd_quantiles_within_relative_error():
+    from hyperion_crawler_ray.stages.sketches import DDSketch, dd_quantiles
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 3, 4000).astype(np.int64),
+        "v": np.exp(rng.uniform(0, 6, 4000)),  # heavy-tailed positives
+    })
+    out = dd_quantiles(rd.from_pandas(df, override_num_blocks=6),
+                       "k", "v", {"p50": 0.5, "p90": 0.9},
+                       alpha=0.01).set_index("k")
+    for k, g in df.groupby("k"):
+        for col, q in (("p50", 0.5), ("p90", 0.9)):
+            exact = float(np.quantile(g["v"].to_numpy(), q))
+            assert abs(out.loc[k, col] - exact) / exact < 0.025
+
+    # merge-order invariance (the determinism claim)
+    a, b, c = DDSketch(), DDSketch(), DDSketch()
+    xs = np.exp(rng.uniform(0, 6, 900))
+    a.add(xs[:300]); b.add(xs[300:600]); c.add(xs[600:])
+    m1 = a.merge(b).merge(c)
+    m2 = c.merge(a.merge(b))
+    m3 = b.merge(c).merge(a)
+    assert m1.quantile(0.5) == m2.quantile(0.5) == m3.quantile(0.5)
