@@ -132,12 +132,19 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     if overlap:
         raise ValueError(f"hash_join: non-key column collision {overlap}; "
                          "rename before joining")
-    if how not in ("inner", "left"):
+    join_types = {"inner": "inner", "left": "left outer",
+                  "right": "right outer", "outer": "full outer"}
+    if how not in join_types:
         raise ValueError(f"hash_join: unsupported how={how!r}")
     if hot_keys is not None and len(on) != 1:
         raise ValueError("hash_join: hot-key salting supports single-column "
                          "keys only")
-    join_type = "inner" if how == "inner" else "left outer"
+    if hot_keys and how in ("right", "outer"):
+        # a replicated unmatched hot right row would surface salt× in a
+        # right/full outer result — salting is inner/left only
+        raise ValueError("hash_join: hot-key salting is incompatible with "
+                         f"how={how!r}")
+    join_type = join_types[how]
     out = _bucketed_join(left, right, on, l_cols, r_cols, l_schema, r_schema,
                          num_partitions, join_type, r_select=r_cols,
                          hot_keys=list(hot_keys) if hot_keys else None,
@@ -248,7 +255,10 @@ def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         # Arrow join rejects for non-key fields
         lt_ = t.filter(pc.equal(side, 0)).select(l_cols).cast(l_target)
         rt_ = t.filter(pc.equal(side, 1)).select(r_select).cast(r_target)
-        return lt_.join(rt_, keys=on, join_type=join_type)
+        out = lt_.join(rt_, keys=on, join_type=join_type)
+        # pin column order to the declared result schema (outer joins
+        # can emit a different order than the empty-block schema)
+        return out.select(result_schema.names).cast(result_schema)
 
     return lt.union(rt).groupby("__bucket").map_groups(
         merge_bucket, batch_format="pyarrow")

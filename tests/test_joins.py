@@ -244,3 +244,25 @@ def test_range_join_one_sided_bucket_and_empty_result():
     assert set(out.schema().names) == {"k", "val", "row_id", "lo", "hi",
                                        "band_id"}
     assert out.count() == 0
+
+
+def test_hash_join_right_and_full_outer_match_pandas():
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({"k": rng.randint(0, 20, 50).astype(np.int64),
+                         "lv": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.randint(10, 30, 40).astype(np.int64),
+                          "rv": np.arange(40, dtype=np.int64)})
+
+    for how in ("right", "outer"):
+        got = hash_join(_ds(left), _ds(right), on="k",
+                        num_partitions=5, how=how).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        gk = sorted(map(tuple, got.fillna(-1)[["k", "lv", "rv"]].to_numpy()))
+        wk = sorted(map(tuple, want.fillna(-1)[["k", "lv", "rv"]].to_numpy()))
+        assert gk == wk, how
+        assert list(got.columns) == ["k", "lv", "rv"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_join(_ds(left), _ds(right), on="k", how="outer",
+                  hot_keys=[10])
