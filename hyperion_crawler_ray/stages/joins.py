@@ -58,6 +58,86 @@ def anti_join(ds: rd.Dataset, col: str, keys) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over uint64 key hashes (double hashing,
+    Kirsch-Mitzenmacher): fixed ``n_bits`` bit array packed in uint64
+    words, mergeable by OR — the partial-per-batch / reduce shape. At
+    default 2^20 bits / k=4 the filter is 128 KiB; sized for ~1e5 keys
+    at <2% false-positive rate (fp only costs shuffle bytes, never
+    correctness)."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 4,
+                 words: np.ndarray | None = None):
+        assert n_bits % 64 == 0
+        self.n_bits = n_bits
+        self.k = k
+        self.words = (words if words is not None
+                      else np.zeros(n_bits // 64, dtype=np.uint64))
+
+    def _probes(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+            idx = np.empty((self.k, len(h)), dtype=np.uint64)
+            for i in range(self.k):
+                idx[i] = (h + np.uint64(i) * h2) % np.uint64(self.n_bits)
+        return idx
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        for row in self._probes(h):
+            np.bitwise_or.at(self.words, (row >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (row & np.uint64(63)))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        hit = np.ones(len(h), dtype=bool)
+        for row in self._probes(h):
+            w = self.words[(row >> np.uint64(6)).astype(np.int64)]
+            hit &= (w >> (row & np.uint64(63))) & np.uint64(1) != 0
+        return hit
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        return BloomFilter(self.n_bits, self.k, self.words | other.words)
+
+
+def build_bloom(ds: rd.Dataset, on: list[str] | str,
+                n_bits: int = 1 << 20, k: int = 4) -> BloomFilter:
+    """Build a Bloom filter of a dataset's join keys: one fixed-size
+    partial per BLOCK leaves each task (n_bits/8 bytes, independent of
+    rows), OR-reduced on the driver — driver traffic is O(blocks), not
+    O(keys)."""
+    on = [on] if isinstance(on, str) else list(on)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k)
+        bf.add_hashes(_key_hash(t, on))
+        return pa.table({"words": pa.array([bf.words.tobytes()],
+                                           pa.binary())})
+
+    acc = BloomFilter(n_bits, k)
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for raw in batch.column("words").to_pylist():
+            acc = acc.merge(BloomFilter(
+                n_bits, k, np.frombuffer(raw, dtype=np.uint64).copy()))
+    return acc
+
+
+def bloom_prune(ds: rd.Dataset, on: list[str] | str,
+                bloom: BloomFilter) -> rd.Dataset:
+    """Drop rows whose key is definitely absent from ``bloom`` (one
+    broadcast object-store copy; per-batch vectorized membership). Only
+    sound where dropping non-matching rows preserves semantics (inner /
+    semi joins)."""
+    on = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(bloom)
+
+    def f(t: pa.Table) -> pa.Table:
+        bf = ray.get(ref)
+        return t.filter(pa.array(bf.contains_hashes(_key_hash(t, on))))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _key_hash(t: pa.Table, on: list[str]) -> np.ndarray:
     h = np.zeros(t.num_rows, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -100,7 +180,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
               num_partitions: int = 16, how: str = "inner",
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None,
-              hot_keys=None, salt: int = 8) -> rd.Dataset:
+              hot_keys=None, salt: int = 8,
+              prefilter: str | None = None) -> rd.Dataset:
     """Partitioned hash join for two LARGE sides: bucket both on
     ``hash(key) % B`` (B explicit), co-group, Arrow-native join per
     bucket. The groupby is the one unavoidable all-to-all.
@@ -145,6 +226,19 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
         raise ValueError("hash_join: hot-key salting is incompatible with "
                          f"how={how!r}")
     join_type = join_types[how]
+    if prefilter == "bloom":
+        # shuffle-volume reducer for selective INNER joins: a Bloom
+        # filter of the right keys (fixed-size partial per block,
+        # OR-reduce) prunes non-matching left rows BEFORE the all-to-all
+        # — at a 1% match rate this drops ~99% of left shuffle bytes for
+        # one extra pass over the (smaller) right side. False positives
+        # only cost bytes; the in-bucket join still decides membership.
+        if how != "inner":
+            raise ValueError("hash_join: bloom prefilter is only sound for "
+                             "inner joins (pruned left rows would vanish "
+                             f"from a {how!r} result)")
+        right = right.materialize()  # consumed twice: bloom + join
+        left = bloom_prune(left, on, build_bloom(right, on))
     out = _bucketed_join(left, right, on, l_cols, r_cols, l_schema, r_schema,
                          num_partitions, join_type, r_select=r_cols,
                          hot_keys=list(hot_keys) if hot_keys else None,

@@ -266,3 +266,35 @@ def test_hash_join_right_and_full_outer_match_pandas():
     with _pytest.raises(ValueError):
         hash_join(_ds(left), _ds(right), on="k", how="outer",
                   hot_keys=[10])
+
+
+def test_bloom_filter_membership_and_merge():
+    from hyperion_crawler_ray.stages.joins import BloomFilter
+    rng = np.random.RandomState(2)
+    present = rng.randint(0, 1 << 62, 5000).astype(np.uint64)
+    absent = (rng.randint(0, 1 << 62, 20000).astype(np.uint64)
+              | np.uint64(1 << 62))  # disjoint range
+    a, b = BloomFilter(), BloomFilter()
+    a.add_hashes(present[:2500]); b.add_hashes(present[2500:])
+    m = a.merge(b)
+    assert m.contains_hashes(present).all()  # no false negatives, ever
+    assert m.contains_hashes(absent).mean() < 0.02  # fp rate sane
+
+
+def test_hash_join_bloom_prefilter_equals_plain_inner():
+    rng = np.random.RandomState(9)
+    # selective join: only 5% of left keys exist on the right
+    left = pd.DataFrame({"k": rng.randint(0, 10000, 5000).astype(np.int64),
+                         "lv": np.arange(5000, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.randint(0, 500, 300).astype(np.int64),
+                          "rv": np.arange(300, dtype=np.int64)})
+    plain = hash_join(_ds(left), _ds(right), on="k",
+                      num_partitions=6).to_pandas()
+    bloomed = hash_join(_ds(left), _ds(right), on="k", num_partitions=6,
+                        prefilter="bloom").to_pandas()
+    key = ["k", "lv", "rv"]
+    assert sorted(map(tuple, plain[key].to_numpy())) \
+        == sorted(map(tuple, bloomed[key].to_numpy()))
+    with pytest.raises(ValueError):
+        hash_join(_ds(left), _ds(right), on="k", how="left",
+                  prefilter="bloom")
