@@ -193,3 +193,76 @@ def dd_quantiles(ds: rd.Dataset, key: str, value: str,
         .map_groups(merge_group, batch_format="pandas")
     )
     return out.to_pandas().sort_values(key).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; merge per Agarwal et al.
+# 2013, "Mergeable Summaries" — public algorithms): k-counter summary
+# whose count error after any merges is bounded by n/k. The corpus-stats
+# op for "most frequent terms/hosts/n-grams" where an exact groupby of
+# the full key space would be a giant shuffle.
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """k-counter heavy-hitters summary over string keys."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.counts: dict = {}
+
+    def add(self, keys, weights=None) -> None:
+        import collections
+        c = collections.Counter(keys) if weights is None else None
+        if c is None:
+            c = collections.Counter()
+            for key, w in zip(keys, weights):
+                c[key] += int(w)
+        for key, n in c.items():
+            self.counts[key] = self.counts.get(key, 0) + n
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        # decrement by the (k+1)-th largest count and drop non-positive
+        kth = sorted(self.counts.values(), reverse=True)[self.k]
+        self.counts = {key: n - kth for key, n in self.counts.items()
+                       if n > kth}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        out.counts = dict(self.counts)
+        for key, n in other.counts.items():
+            out.counts[key] = out.counts.get(key, 0) + n
+        out._shrink()
+        return out
+
+    def top(self, n: int) -> list:
+        return sorted(self.counts.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:n]
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 256,
+                  top_n: int = 20) -> pd.DataFrame:
+    """Approximate top-``top_n`` most frequent values of ``col``:
+    one MG summary per block (<= k counters each, independent of rows)
+    -> O(blocks) driver reduce. Count error <= n_rows/k (tested); use
+    for the candidate set, then one cheap exact pass filtered to the
+    candidates when exact counts matter."""
+    import json as _json
+
+    def partial(t: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        mg.add(t.column(col).to_pylist())
+        return pa.table({"summary": pa.array(
+            [_json.dumps(mg.counts, separators=(",", ":"))], pa.string())})
+
+    acc = MisraGries(k)
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for raw in batch.column("summary").to_pylist():
+            other = MisraGries(k)
+            other.counts = _json.loads(raw)
+            acc = acc.merge(other)
+    return pd.DataFrame(acc.top(top_n), columns=[col, "approx_count"])

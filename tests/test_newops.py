@@ -185,3 +185,20 @@ def test_dd_quantiles_within_relative_error():
     m2 = c.merge(a.merge(b))
     m3 = b.merge(c).merge(a)
     assert m1.quantile(0.5) == m2.quantile(0.5) == m3.quantile(0.5)
+
+
+def test_misra_gries_heavy_hitters_error_bound():
+    from hyperion_crawler_ray.stages.sketches import heavy_hitters
+    rng = np.random.RandomState(4)
+    # zipf-ish: few hot keys over a long tail
+    zipf = np.clip(rng.zipf(1.5, 30000), 1, 5000)
+    df = pd.DataFrame({"term": [f"t{z}" for z in zipf]})
+    got = heavy_hitters(rd.from_pandas(df, override_num_blocks=8),
+                        "term", k=256, top_n=10)
+    exact = df["term"].value_counts()
+    bound = len(df) / 256
+    for term, approx in got.to_numpy():
+        assert exact[term] >= approx          # MG never overcounts
+        assert exact[term] - approx <= bound  # n/k error bound
+    # the true top-3 must all be present in the approximate top-10
+    assert set(exact.index[:3]) <= set(got["term"])
