@@ -460,11 +460,44 @@ def _prepare_round_dir(out_dir: str, r: int) -> tuple[str, str]:
     return rdir, tmp
 
 
+def _bucket_metrics(extracted, n_buckets: int) -> list[dict]:
+    """Per-PARTITION fetch metrics (north_rule: per-partition lineage):
+    pages fetched + retry count per index bucket this round. Computed as
+    fixed-size per-batch count vectors summed on the driver — traffic is
+    O(blocks x n_buckets), never O(pages)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = bucket_of_many(t.column("url_hash").to_pylist(), n_buckets)
+        att = t.column("fetch_attempts").to_numpy(zero_copy_only=False)
+        counts = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        rets = np.bincount(b, weights=att - 1,
+                           minlength=n_buckets).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary()),
+                         "rets": pa.array([rets.tobytes()], pa.binary())})
+
+    counts = np.zeros(n_buckets, np.int64)
+    rets = np.zeros(n_buckets, np.int64)
+    if isinstance(extracted, pa.Table):
+        parts = [partial(extracted)] if extracted.num_rows else []
+    else:
+        parts = extracted.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")
+    for batch in parts:
+        for raw_c, raw_r in zip(batch.column("counts").to_pylist(),
+                                batch.column("rets").to_pylist()):
+            counts += np.frombuffer(raw_c, dtype=np.int64)
+            rets += np.frombuffer(raw_r, dtype=np.int64)
+    return [{"bucket": int(b), "rows_out": int(counts[b]),
+             "retries": int(rets[b])} for b in np.nonzero(counts)[0]]
+
+
 def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
                   n_selected: int, n_fetched: int, n_next: int,
                   order_tbl: pa.Table | None, shards: SeenShards,
                   stage_t: dict, retries: int = 0,
-                  cfg: CrawlConfig | None = None) -> None:
+                  cfg: CrawlConfig | None = None,
+                  bucket_rows: list[dict] | None = None) -> None:
     from ..schema import LINEAGE_SCHEMA
 
     if order_tbl is not None:  # driver path; distributed rounds write order/
@@ -483,6 +516,15 @@ def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
             "rows_rejected": -1, "retries": 0,
             "wall_ms": round(float(secs) * 1000, 3),
             "parameters": "{}", "result_summary": "{}"})
+    for row in (bucket_rows or []):
+        lineage.append({
+            "round": r, "task_id": f"r{r:04d}:fetch:bucket={row['bucket']}",
+            "stage": "fetch_partition", "status": "success",
+            "rows_in": -1, "rows_out": row["rows_out"],
+            "rows_rejected": -1, "retries": row["retries"],
+            "wall_ms": -1.0,
+            "parameters": json.dumps({"bucket": row["bucket"]}),
+            "result_summary": "{}"})
     params = {}
     if cfg is not None:
         params = {"max_per_host_per_round": cfg.max_per_host_per_round,
@@ -819,6 +861,7 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
     _t = time.perf_counter()
     n_fetched = 0
     retries = 0
+    bucket_rows: list[dict] = []
     new_rows = _EMPTY_FRONTIER.to_pandas()
     if extracted is not None:
         ex_tbl = pa.concat_tables(
@@ -829,6 +872,7 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
             n_fetched = ex_tbl.num_rows
             retries = int(pc.sum(ex_tbl.column("fetch_attempts")).as_py()
                           or 0) - n_fetched
+            bucket_rows = _bucket_metrics(ex_tbl, cfg.n_buckets)
             pq_dir = os.path.join(tmp, "pages")
             os.makedirs(pq_dir, exist_ok=True)
             pq.write_table(_pages_from_extracted(ex_tbl, r),
@@ -853,7 +897,7 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
 
     _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
                   n_next, order_tbl, shards, stage_t, retries=retries,
-                  cfg=cfg)
+                  cfg=cfg, bucket_rows=bucket_rows)
     return next_tbl if n_next else None
 
 
@@ -973,11 +1017,13 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         if n_selected else None
     n_fetched = 0
     retries = 0
+    bucket_rows: list[dict] = []
     next_pending = deferred
     if extracted is not None:
         n_fetched = extracted.count()
         if n_fetched:
             retries = int(extracted.sum("fetch_attempts")) - n_fetched
+            bucket_rows = _bucket_metrics(extracted, cfg.n_buckets)
         stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
         _t = time.perf_counter()
 
@@ -1019,7 +1065,8 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         os.makedirs(os.path.join(tmp, "frontier_next"), exist_ok=True)
     stage_t["checkpoint"] = round(time.perf_counter() - _t, 3)
     _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
-                  n_next, None, shards, stage_t, retries=retries, cfg=cfg)
+                  n_next, None, shards, stage_t, retries=retries, cfg=cfg,
+                  bucket_rows=bucket_rows)
     return next_pending if n_next > 0 else None
 
 

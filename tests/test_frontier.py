@@ -226,3 +226,27 @@ def test_kill_resume_equality(corpus, crawl_result, oracle_result):
         ocf = oracle_result["filters"][s]
         assert np.array_equal(ecf.table, ocf.table)
         assert ecf.overflow == ocf.overflow
+
+
+def test_per_partition_lineage_reconciles(crawl_result):
+    """north_rule: per-partition lineage + fetch metrics — every round's
+    fetch_partition rows must sum to that round's fetched total."""
+    import glob
+
+    import pandas as pd
+
+    out, _ = crawl_result
+    lin = pd.concat([
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(out, "rounds", "*",
+                                               "lineage.parquet")))])
+    fp = lin[lin["stage"] == "fetch_partition"]
+    rounds = lin[lin["stage"] == "round"].set_index("round")["rows_out"]
+    fetched_rounds = rounds[rounds > 0]
+    assert len(fp) > 0
+    sums = fp.groupby("round")["rows_out"].sum()
+    for r, total in fetched_rounds.items():
+        assert sums.get(r, 0) == total, r
+    # task-log envelope on every row
+    assert (fp["status"] == "success").all()
+    assert fp["task_id"].str.match(r"r\d{4}:fetch:bucket=\d+").all()
