@@ -50,6 +50,47 @@ def cosine_topk(ds: rd.Dataset, vec_col: str, id_col: str,
     return parts.reset_index(drop=True)
 
 
+def cosine_topk_batch(ds: rd.Dataset, vec_col: str, id_col: str,
+                      queries: np.ndarray, k: int) -> pd.DataFrame:
+    """Exact top-k for a MATRIX of queries in one pass: the (m, d) query
+    matrix is `ray.put` once; each batch does a single (n, d) @ (d, m)
+    matmul and keeps its per-query top-k (combiner), so the driver
+    merges at most k*m rows per block regardless of dataset size.
+    Returns (query_idx, rank, id, cos), ties by ascending id."""
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    if q.ndim == 1:
+        q = q[None, :]
+    m = q.shape[0]
+    qref = ray.put(q.T.copy())  # (d, m), contiguous for the matmul
+
+    def partial(t: pa.Table) -> pa.Table:
+        qt = ray.get(qref)
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = np.asarray(t.column(id_col).to_pylist())
+        sims = _unit(vecs) @ qt                       # (n, m)
+        kk = min(k, len(ids))
+        out_q, out_i, out_c = [], [], []
+        for j in range(m):
+            order = np.lexsort((ids, -sims[:, j]))[:kk]
+            out_q.append(np.full(kk, j, np.int64))
+            out_i.append(ids[order])
+            out_c.append(sims[order, j])
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_i)),
+            "cos": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["query_idx", "cos", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    parts = parts.groupby("query_idx", sort=True).head(k) \
+        .reset_index(drop=True)
+    parts["rank"] = parts.groupby("query_idx", sort=False).cumcount() + 1
+    return parts[["query_idx", "rank", id_col, "cos"]]
+
+
 def ivf_build_centroids(ds: rd.Dataset, vec_col: str, n_cells: int,
                         sample: int = 4096, iters: int = 10,
                         seed: int = 5) -> np.ndarray:

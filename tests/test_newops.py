@@ -202,3 +202,21 @@ def test_misra_gries_heavy_hitters_error_bound():
         assert exact[term] - approx <= bound  # n/k error bound
     # the true top-3 must all be present in the approximate top-10
     assert set(exact.index[:3]) <= set(got["term"])
+
+
+def test_cosine_topk_batch_matches_per_query():
+    from hyperion_crawler_ray.stages.ann import cosine_topk, cosine_topk_batch
+    rng = np.random.RandomState(6)
+    vecs = rng.standard_normal((500, 16))
+    df = pd.DataFrame({"vid": np.arange(500, dtype=np.int64),
+                       "emb": list(vecs)})
+    ds = rd.from_pandas(df, override_num_blocks=5)
+    queries = rng.standard_normal((3, 16))
+    got = cosine_topk_batch(ds, "emb", "vid", queries, k=7)
+    assert len(got) == 21
+    for j in range(3):
+        single = cosine_topk(rd.from_pandas(df, override_num_blocks=5),
+                             "emb", "vid", queries[j], k=7)
+        gj = got[got["query_idx"] == j]
+        assert gj["vid"].tolist() == single["vid"].tolist(), j
+        assert np.allclose(gj["cos"].to_numpy(), single["cos"].to_numpy())
