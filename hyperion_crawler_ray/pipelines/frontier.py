@@ -1020,10 +1020,14 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     bucket_rows: list[dict] = []
     next_pending = deferred
     if extracted is not None:
-        n_fetched = extracted.count()
+        n_fetched = extracted.count()  # metadata-only on materialized
         if n_fetched:
-            retries = int(extracted.sum("fetch_attempts")) - n_fetched
+            # ONE aggregation pass yields the per-partition lineage AND
+            # the round totals (was: a separate sum() pass + a metrics
+            # pass — a fixed serial cost per round that taxes the
+            # high-parallelism leg of the scaling pair)
             bucket_rows = _bucket_metrics(extracted, cfg.n_buckets)
+            retries = sum(r["retries"] for r in bucket_rows)
         stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
         _t = time.perf_counter()
 

@@ -1348,10 +1348,12 @@ FROM documents GROUP BY lang
 
 
 def q_text_scores(sf_dir):
-    """Per-doc analysis bundle (merged round 2, rows-only): BPE-ish
+    """Per-doc analysis bundle (merged rounds 2/2b, rows-only): BPE-ish
     token estimate (GPT-2-style pre-tokenizer regex — has a lookahead,
-    so not RE2/DuckDB-expressible), language-ID heuristic (actor pool)
-    and Karp-Rabin rolling fingerprint, one row per document."""
+    so not RE2/DuckDB-expressible), language-ID heuristic (actor pool),
+    Karp-Rabin rolling fingerprint and 64-bit SimHash, one row per
+    document (hamming-distance near-dup property asserted in
+    tests/test_stages.py)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     ds = tx.bpe_ish_token_count(ds, "text")
     ds = tx.rolling_fingerprint(ds, "text")
