@@ -618,7 +618,8 @@ SELECT event_type, event_id FROM (
   SELECT event_type, event_id,
          row_number() OVER (
            PARTITION BY event_type
-           ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+           ORDER BY (event_id * 2654435761::HUGEINT) % 4294967296,
+                    event_id) AS rn
   FROM events) WHERE rn <= 5
 """
 

@@ -22,8 +22,12 @@ MOD32 = np.uint64(1 << 32)
 
 
 def sample_rank_hash(ids: np.ndarray) -> np.ndarray:
-    """(id * 2654435761) mod 2^32 — expressible verbatim in SQL over
-    BIGINT, exact in uint64 for ids < 2^32."""
+    """(id * 2654435761) mod 2^32, exact in uint64 for ids < 2^32.
+
+    SQL parity note: the product overflows signed BIGINT for ids above
+    ~2^31.7, so the DuckDB oracle must widen before multiplying —
+    ``(id * 2654435761::HUGEINT) % 4294967296`` — to match numpy's
+    uint64 arithmetic across the full documented id < 2^32 range."""
     return (ids.astype(np.uint64) * KNUTH) % MOD32
 
 

@@ -110,12 +110,18 @@ class DDSketch:
     """Positive-value DDSketch with contiguous bin storage.
 
     Bin index for x>0 is ceil(log(x)/log(gamma)); values <= min_value
-    land in a dedicated zero bin. State is one small int64 count vector,
-    mergeable by elementwise sum — the combiner-before-shuffle shape."""
+    land in a dedicated zero bin, values past the last bin in a dedicated
+    overflow bin (with default alpha=0.01/min_value=1e-9/max_bins=2048 the
+    covered range tops out near ~5e8 — ``over > 0`` signals that the alpha
+    relative-error guarantee does not hold for the upper tail, instead of
+    silently collapsing large values into the last bin). State is one
+    small int64 count vector plus two scalars, mergeable by elementwise
+    sum — the combiner-before-shuffle shape."""
 
     def __init__(self, alpha: float = 0.01, min_value: float = 1e-9,
                  max_bins: int = 2048,
-                 counts: np.ndarray | None = None, zero: int = 0):
+                 counts: np.ndarray | None = None, zero: int = 0,
+                 over: int = 0):
         self.alpha = alpha
         self.gamma = (1 + alpha) / (1 - alpha)
         self.lg = np.log(self.gamma)
@@ -125,6 +131,13 @@ class DDSketch:
         self.counts = (counts if counts is not None
                        else np.zeros(max_bins, dtype=np.int64))
         self.zero = zero
+        self.over = over
+
+    @property
+    def max_representable(self) -> float:
+        """Largest value the binned range covers; anything above lands in
+        the overflow bin and increments ``over``."""
+        return float(self.gamma ** (self.max_bins - 1 + self.offset))
 
     def add(self, x: np.ndarray) -> None:
         x = np.asarray(x, dtype=np.float64)
@@ -133,21 +146,27 @@ class DDSketch:
         pos = x[~small]
         if len(pos):
             idx = np.ceil(np.log(pos) / self.lg).astype(np.int64) - self.offset
-            idx = np.clip(idx, 0, self.max_bins - 1)
+            big = idx > self.max_bins - 1
+            self.over += int(big.sum())
+            idx = np.clip(idx[~big], 0, self.max_bins - 1)
             np.add.at(self.counts, idx, 1)
 
     def merge(self, other: "DDSketch") -> "DDSketch":
         return DDSketch(self.alpha, self.min_value, self.max_bins,
-                        self.counts + other.counts, self.zero + other.zero)
+                        self.counts + other.counts, self.zero + other.zero,
+                        self.over + other.over)
 
     def quantile(self, q: float) -> float:
-        total = self.zero + int(self.counts.sum())
+        total = self.zero + int(self.counts.sum()) + self.over
         if total == 0:
             return float("nan")
         rank = q * (total - 1)
         if rank < self.zero:
             return 0.0
         cum = self.zero + np.cumsum(self.counts)
+        if rank >= cum[-1]:
+            # rank falls in the overflow bin — only a lower bound is known
+            return self.max_representable
         i = int(np.searchsorted(cum, rank, side="right"))
         i = min(i, self.max_bins - 1)
         # bin i covers (gamma^(i+offset-1), gamma^(i+offset)]; midpoint
@@ -166,22 +185,23 @@ def dd_quantiles(ds: rd.Dataset, key: str, value: str,
     small DataFrame (key, *qs)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out_keys, out_counts, out_zero = [], [], []
+        out_keys, out_counts, out_zero, out_over = [], [], [], []
         for k, g in df.groupby(key, sort=False):
             sk = DDSketch(alpha)
             sk.add(g[value].to_numpy())
             out_keys.append(k)
             out_counts.append(sk.counts.tobytes())
             out_zero.append(sk.zero)
+            out_over.append(sk.over)
         return pd.DataFrame({key: out_keys, "cnt": out_counts,
-                             "zero": out_zero})
+                             "zero": out_zero, "over": out_over})
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
         acc = DDSketch(alpha)
-        for raw, z in zip(df["cnt"], df["zero"]):
+        for raw, z, ov in zip(df["cnt"], df["zero"], df["over"]):
             acc = acc.merge(DDSketch(
                 alpha, counts=np.frombuffer(raw, dtype=np.int64).copy(),
-                zero=int(z)))
+                zero=int(z), over=int(ov)))
         row = {key: [df[key].iloc[0]]}
         for out, q in qs.items():
             row[out] = [acc.quantile(q)]
@@ -249,20 +269,27 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 256,
     one MG summary per block (<= k counters each, independent of rows)
     -> O(blocks) driver reduce. Count error <= n_rows/k (tested); use
     for the candidate set, then one cheap exact pass filtered to the
-    candidates when exact counts matter."""
-    import json as _json
+    candidates when exact counts matter.
+
+    Summaries travel as parallel list columns typed after ``col`` (not
+    JSON, which coerces non-string keys to str), so int/str/etc. key
+    dtypes round-trip the shuffle unchanged."""
 
     def partial(t: pa.Table) -> pa.Table:
         mg = MisraGries(k)
         mg.add(t.column(col).to_pylist())
-        return pa.table({"summary": pa.array(
-            [_json.dumps(mg.counts, separators=(",", ":"))], pa.string())})
+        key_type = t.schema.field(col).type
+        return pa.table({
+            "keys": pa.array([list(mg.counts.keys())], pa.list_(key_type)),
+            "cnts": pa.array([list(mg.counts.values())],
+                             pa.list_(pa.int64()))})
 
     acc = MisraGries(k)
     for batch in ds.map_batches(partial, batch_format="pyarrow") \
                    .iter_batches(batch_format="pyarrow"):
-        for raw in batch.column("summary").to_pylist():
+        for keys, cnts in zip(batch.column("keys").to_pylist(),
+                              batch.column("cnts").to_pylist()):
             other = MisraGries(k)
-            other.counts = _json.loads(raw)
+            other.counts = dict(zip(keys, cnts))
             acc = acc.merge(other)
     return pd.DataFrame(acc.top(top_n), columns=[col, "approx_count"])

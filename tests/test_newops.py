@@ -220,3 +220,39 @@ def test_cosine_topk_batch_matches_per_query():
         gj = got[got["query_idx"] == j]
         assert gj["vid"].tolist() == single["vid"].tolist(), j
         assert np.allclose(gj["cos"].to_numpy(), single["cos"].to_numpy())
+
+
+def test_heavy_hitters_int_keys_keep_dtype():
+    # ADVICE r2: JSON serialization coerced non-string keys to str; the
+    # list-column summaries must round-trip int keys as ints.
+    from hyperion_crawler_ray.stages.sketches import heavy_hitters
+    rng = np.random.RandomState(9)
+    hosts = np.where(rng.rand(5000) < 0.5, 7,
+                     rng.randint(0, 400, 5000)).astype(np.int64)
+    df = pd.DataFrame({"host_id": hosts})
+    got = heavy_hitters(rd.from_pandas(df, override_num_blocks=6),
+                        "host_id", k=64, top_n=5)
+    assert all(isinstance(v, (int, np.integer)) for v in got["host_id"])
+    assert int(got.iloc[0]["host_id"]) == 7
+
+
+def test_ddsketch_overflow_tracked_not_silent():
+    # ADVICE r2: values past the representable range must increment an
+    # overflow counter (and survive merges) instead of silently
+    # collapsing into the last bin.
+    from hyperion_crawler_ray.stages.sketches import DDSketch
+    sk = DDSketch()
+    big = sk.max_representable * 10.0
+    sk.add(np.array([1.0, 2.0, big, big * 2]))
+    assert sk.over == 2
+    assert sk.counts.sum() == 2  # the two in-range values only
+    other = DDSketch()
+    other.add(np.array([big]))
+    merged = sk.merge(other)
+    assert merged.over == 3
+    # a quantile landing in the overflow region returns the known lower
+    # bound rather than pretending alpha-accuracy
+    assert merged.quantile(0.99) == sk.max_representable
+    # in-range-only sketches still report over == 0
+    clean = DDSketch(); clean.add(np.array([1.0, 10.0, 100.0]))
+    assert clean.over == 0
