@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.vectors import vec_matrix
+
 
 def _unit(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=-1, keepdims=True)
@@ -33,8 +35,8 @@ def cosine_topk(ds: rd.Dataset, vec_col: str, id_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         q = ray.get(qref)
-        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
-        ids = np.asarray(t.column(id_col).to_pylist())
+        vecs = vec_matrix(t.column(vec_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         keep = ~np.isin(ids, list(exclude_ids)) if exclude_ids else \
             np.ones(len(ids), bool)
         vecs, ids = vecs[keep], ids[keep]
@@ -65,8 +67,8 @@ def cosine_topk_batch(ds: rd.Dataset, vec_col: str, id_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         qt = ray.get(qref)
-        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
-        ids = np.asarray(t.column(id_col).to_pylist())
+        vecs = vec_matrix(t.column(vec_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sims = _unit(vecs) @ qt                       # (n, m)
         kk = min(k, len(ids))
         out_q, out_i, out_c = [], [], []
@@ -127,8 +129,7 @@ def ivf_build_index(ds: rd.Dataset, vec_col: str, centroids: np.ndarray,
 
     def assign(t: pa.Table) -> pa.Table:
         cent = ray.get(cref)
-        vecs = _unit(np.asarray(t.column(vec_col).to_pylist(),
-                                dtype=np.float64))
+        vecs = _unit(vec_matrix(t.column(vec_col)))
         cell = np.argmax(vecs @ cent.T, axis=1)
         return t.append_column("cell", pa.array(cell.astype(np.int32),
                                                 pa.int32()))
@@ -160,9 +161,8 @@ def ivf_topk_indexed(idx_dir: str, vec_col: str, id_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         qv = ray.get(qref)
-        vecs = _unit(np.asarray(t.column(vec_col).to_pylist(),
-                                dtype=np.float64))
-        ids = np.asarray(t.column(id_col).to_pylist())
+        vecs = _unit(vec_matrix(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sims = vecs @ qv
         order = np.lexsort((ids, -sims))[:k]
         return pa.table({id_col: pa.array(ids[order]),
@@ -189,8 +189,8 @@ def ivf_topk(ds: rd.Dataset, vec_col: str, id_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         cent, cells, qv = ray.get(cref)
-        vecs = _unit(np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64))
-        ids = np.asarray(t.column(id_col).to_pylist())
+        vecs = _unit(vec_matrix(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         assign = np.argmax(vecs @ cent.T, axis=1)
         keep = np.isin(assign, list(cells))
         vecs, ids = vecs[keep], ids[keep]

@@ -17,6 +17,7 @@ hold recall.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pandas as pd
@@ -25,6 +26,15 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import hashing as H
+from ..functions.vectors import vec_matrix
+
+
+@_lru_cache(maxsize=32)
+def _lsh_planes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    """Deterministic random hyperplanes for the embedding LSH, cached
+    per process so each worker generates them once (not per batch) —
+    the broadcast-once pattern without needing a driver-side dim probe."""
+    return np.random.RandomState(seed).standard_normal((dim, n_planes))
 
 
 def exact_dedup(ds: rd.Dataset, keys: list[str],
@@ -282,12 +292,9 @@ def embedding_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
     n_buckets = 1 << n_planes
 
     def bucketize(t: pa.Table) -> pa.Table:
-        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(t.column(vec_col))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        dim = vecs.shape[1]
-        rng = np.random.RandomState(13)
-        planes = rng.standard_normal((dim, n_planes))
-        proj = vecs @ planes
+        proj = vecs @ _lsh_planes(vecs.shape[1], n_planes)
         signs = proj > 0
         powers = (1 << np.arange(n_planes)).astype(np.int64)
         primary = signs @ powers
@@ -307,23 +314,26 @@ def embedding_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
             "bucket": pa.array(all_buckets.astype(np.int64), pa.int64()),
         })
 
-    def within(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(id_col)
-        vecs = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+    def within(t: pa.Table) -> pa.Table:
+        ids_all = t.column(id_col).to_numpy(zero_copy_only=False)
+        # drop multi-probe replicas of the same id within the bucket
+        _, first = np.unique(ids_all, return_index=True)
+        t = t.take(pa.array(np.sort(first)))
+        vecs = vec_matrix(t.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
         sims = unit @ unit.T
-        ids = df[id_col].to_numpy()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
         # half-away-from-zero (repo oracle convention; np.round is
         # banker's and disagrees on exact ties)
         cos = np.floor(np.abs(sims[ia, ib]) * 1e6 + 0.5) / 1e6 \
             * np.sign(sims[ia, ib])
-        return pd.DataFrame({
-            "id_a": np.minimum(ids[ia], ids[ib]),
-            "id_b": np.maximum(ids[ia], ids[ib]),
-            "cos": cos,
+        return pa.table({
+            "id_a": pa.array(np.minimum(ids[ia], ids[ib])),
+            "id_b": pa.array(np.maximum(ids[ia], ids[ib])),
+            "cos": pa.array(cos, pa.float64()),
         })
 
     def pre_dedup(df: pd.DataFrame) -> pd.DataFrame:
@@ -338,7 +348,7 @@ def embedding_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(within, batch_format="pandas")
+        .map_groups(within, batch_format="pyarrow")
         .map_batches(pre_dedup, batch_format="pandas")
         .groupby("__b2")
         .map_groups(dedup_bucket, batch_format="pandas")

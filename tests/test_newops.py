@@ -256,3 +256,25 @@ def test_ddsketch_overflow_tracked_not_silent():
     # in-range-only sketches still report over == 0
     clean = DDSketch(); clean.add(np.array([1.0, 10.0, 100.0]))
     assert clean.over == 0
+
+
+def test_vec_matrix_zero_copy_paths():
+    from hyperion_crawler_ray.functions.vectors import vec_matrix
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((7, 4)).astype(np.float32)
+    # fixed-size list
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel()), 4)
+    assert np.allclose(vec_matrix(fsl), mat.astype(np.float64))
+    # rectangular plain list (the parquet embeddings shape)
+    lst = pa.array([list(r) for r in mat], pa.list_(pa.float32()))
+    assert np.allclose(vec_matrix(lst), mat.astype(np.float64))
+    # sliced chunked array (offset handling)
+    ch = pa.chunked_array([lst.slice(2, 3), lst.slice(5, 2)])
+    assert np.allclose(vec_matrix(ch), mat[2:].astype(np.float64))
+    # ragged fallback still correct (object path)
+    rag = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    out = vec_matrix(rag.slice(0, 1))
+    assert np.allclose(out, [[1.0, 2.0]])
+    # empty
+    assert vec_matrix(pa.array([], pa.list_(pa.float32()))).shape[0] == 0
