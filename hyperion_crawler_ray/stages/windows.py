@@ -133,37 +133,54 @@ def key_window_funcs(ds: rd.Dataset, key: str, order_by: list[str],
 
 def session_windows(ds: rd.Dataset, ts_col: str, key: str,
                     gap_minutes: int = 30,
-                    value: str | None = None) -> rd.Dataset:
+                    value: str | None = None,
+                    num_buckets: int = 32) -> rd.Dataset:
     """Session windows per key: a new session starts when the gap to the
     previous event exceeds ``gap_minutes``. Emits (key, session_start_us,
-    n_events). Ordering assumption: events sorted by ts WITHIN each
-    per-key group (done inside map_groups — groups fit in memory because
-    they're per-user slices of the log)."""
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    n_events[, sum_value]).
 
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col], kind="mergesort")
+    Shape (round 3): hash keys into ``num_buckets`` coarse buckets and
+    sessionize EVERY key in a bucket in one vectorized pass — sort by
+    (key, ts), break on key-change-or-gap, reduceat over session starts
+    — so ``map_groups`` pays per-bucket, not per-key, Python overhead
+    (the same 10-30x trick as key_window_funcs / exact_dedup).
+    Partitioning assumption: one key's rows fit a task; sessions never
+    cross keys, so key-hash bucketing is lossless."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    cols = [key, "session_start_us", "n_events"] + \
+        (["sum_value"] if value is not None else [])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __wb=(pd.util.hash_array(df[key].to_numpy()) % num_buckets)
+            .astype(np.int32))
+
+    def sessionize_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        k = df[key].to_numpy()
         ts = df[ts_col].to_numpy()
-        brk = np.zeros(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(brk)
-        df = df.assign(__sid=sid)
-        g = df.groupby("__sid", sort=True)
-        out = g.agg(session_start=(ts_col, "min"), n_events=(ts_col, "size"))
-        cols = [key, "session_start_us", "n_events"]
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (k[1:] != k[:-1]) | (np.diff(ts) > gap)
+        starts = np.flatnonzero(brk)
+        out = {
+            key: k[starts],
+            # robust across pandas datetime64 resolutions (ns vs us)
+            "session_start_us": ts[starts].astype("datetime64[us]")
+            .astype(np.int64),
+            "n_events": np.diff(np.append(starts, n)).astype(np.int64),
+        }
         if value is not None:
-            out["sum_value"] = g[value].sum().to_numpy()
-            cols.append("sum_value")
-        out[key] = df[key].iloc[0]
-        # robust across pandas datetime64 resolutions (ns vs us)
-        out["session_start_us"] = (
-            out["session_start"].to_numpy(dtype="datetime64[us]")
-            .astype("int64"))
-        return out[cols].reset_index(drop=True)
+            out["sum_value"] = np.add.reduceat(
+                df[value].to_numpy(), starts)
+        return pd.DataFrame(out)[cols]
 
     return (
-        ds.groupby(key)
-        .map_groups(sessionize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__wb")
+        .map_groups(sessionize_bucket, batch_format="pandas")
         .map_batches(lambda t: t, batch_format="pyarrow")
     )

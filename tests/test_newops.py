@@ -278,3 +278,44 @@ def test_vec_matrix_zero_copy_paths():
     assert np.allclose(out, [[1.0, 2.0]])
     # empty
     assert vec_matrix(pa.array([], pa.list_(pa.float32()))).shape[0] == 0
+
+
+def test_session_windows_bucketed_matches_per_key_oracle():
+    # Round-3 bucket-vectorized sessionizer: many keys in one pass must
+    # equal a single-threaded per-key pandas sessionization, and high
+    # key cardinality must not pay per-key map_groups overhead.
+    from hyperion_crawler_ray.stages.windows import session_windows
+    rng = np.random.RandomState(21)
+    n_keys, per = 400, 12
+    ts = (pd.to_datetime("2024-03-01")
+          + pd.to_timedelta(rng.randint(0, 7 * 24 * 60, n_keys * per),
+                            unit="m"))
+    df = pd.DataFrame({"k": rng.randint(0, n_keys, n_keys * per),
+                       "ts": ts,
+                       "v": rng.uniform(0, 10, n_keys * per)})
+    got = session_windows(rd.from_pandas(df, override_num_blocks=8),
+                          "ts", "k", gap_minutes=45, value="v") \
+        .to_pandas().sort_values(["k", "session_start_us"]) \
+        .reset_index(drop=True)
+
+    gap = np.timedelta64(45 * 60, "s")
+    rows = []
+    for k, g in df.sort_values(["k", "ts"]).groupby("k"):
+        t = g["ts"].to_numpy()
+        v = g["v"].to_numpy()
+        start = 0
+        for i in range(1, len(t) + 1):
+            if i == len(t) or (t[i] - t[i - 1]) > gap:
+                rows.append((k, t[start].astype("datetime64[us]")
+                             .astype(np.int64), i - start,
+                             v[start:i].sum()))
+                start = i
+    exp = pd.DataFrame(rows, columns=["k", "session_start_us",
+                                      "n_events", "sum_value"]) \
+        .sort_values(["k", "session_start_us"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["session_start_us"].to_numpy()
+            == exp["session_start_us"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], exp["sum_value"])
