@@ -123,11 +123,20 @@ def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
-                        bands: int = 16, num_buckets: int = 64) -> rd.Dataset:
+                        bands: int = 16, num_buckets: int = 64,
+                        cluster_cap: int = 64) -> rd.Dataset:
     """Band the signatures, groupby (band, band_hash) — docs sharing a
     band bucket are candidate pairs. Returns (id_a, id_b) with a < b,
     deduplicated. Band hashes are uint64 wrap-sums (vectorized over the
-    whole batch; round 1 md5-hexed every band of every doc in Python)."""
+    whole batch; round 1 md5-hexed every band of every doc in Python).
+
+    Mega-cluster guard (round 3): a (band, band_hash) group of size c
+    emits all c(c-1)/2 pairs only while c <= ``cluster_cap``; beyond
+    that it emits STAR pairs (every member against the group's min id,
+    c-1 pairs). A 10^6-copy boilerplate cluster would otherwise emit
+    ~5*10^11 pairs from one group; the star keeps the cluster connected
+    (any member verifies against the representative, which is what
+    dedup's connected-component resolution needs) at O(c) output."""
 
     def to_bands(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -156,14 +165,21 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
         for _, g in df.groupby(["band", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
-            ids = sorted(g[id_col].tolist())
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    out_a.append(ids[x])
-                    out_b.append(ids[y])
+            ids = np.sort(g[id_col].to_numpy())
+            if len(ids) <= cluster_cap:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+            else:
+                # star pairing: O(c) pairs, cluster stays connected
+                out_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+                out_b.append(ids[1:])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.array([], dtype=id_dtype),
+                                 "id_b": np.array([], dtype=id_dtype)})
         return pd.DataFrame({
-            "id_a": np.asarray(out_a, dtype=id_dtype),
-            "id_b": np.asarray(out_b, dtype=id_dtype),
+            "id_a": np.concatenate(out_a).astype(id_dtype, copy=False),
+            "id_b": np.concatenate(out_b).astype(id_dtype, copy=False),
         }).drop_duplicates()
 
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow")

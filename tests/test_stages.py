@@ -105,3 +105,31 @@ def test_multimodal_decode_deterministic():
         .to_pandas().sort_values("media_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["payload_bytes"] > 0).all()
+
+
+def test_lsh_mega_cluster_capped_star_pairing():
+    """Round-3 mega-cluster guard: a 1000-copy identical-content cluster
+    must emit O(c) star pairs per band group (not c^2/2), stay connected
+    through the representative, and finish in bounded time."""
+    import time
+    n_dup = 1000
+    rows = [{"doc_id": i,
+             "text": "exact duplicate boilerplate page content repeated "
+                     "across the whole mirror set of hosts"}
+            for i in range(n_dup)]
+    rows += [{"doc_id": 10_000 + i,
+              "text": " ".join(f"u{i}_{k}" for k in range(30))}
+             for i in range(20)]
+    ds = rd.from_pandas(pd.DataFrame(rows), override_num_blocks=4)
+    sigs = minhash_signatures(ds, "text", "doc_id", num_perm=64)
+    t0 = time.time()
+    pairs = lsh_candidate_pairs(sigs, "doc_id", bands=16,
+                                cluster_cap=64).to_pandas()
+    took = time.time() - t0
+    # star pairing: ~(c-1) pairs per band group, all dedup'd to c-1
+    assert len(pairs) < 5 * n_dup, len(pairs)
+    # the cluster is fully connected via the representative (min id 0)
+    in_cluster = pairs[(pairs.id_a < n_dup) & (pairs.id_b < n_dup)]
+    assert set(in_cluster.id_a) == {0}
+    assert set(in_cluster.id_b) == set(range(1, n_dup))
+    assert took < 60, took
