@@ -38,15 +38,21 @@ class RetryPolicy:
 
 
 def run_with_retry(fn, batch, policy: RetryPolicy):
-    """Call ``fn(batch)`` under the policy. Returns ``(result,
-    attempts)``; raises the last error once the budget is exhausted."""
+    """Call ``fn(batch)`` under the policy. Returns ``(result, attempts,
+    last_error)`` where ``last_error`` is the message of the most recent
+    retried fault (None on a clean first try) — the reference's
+    LoadResult keeps the first 10 error strings
+    (api/src/etl/base/loader.py:58), so the caller can sample them into
+    lineage. Raises the last error once the budget is exhausted."""
     delay = policy.backoff_base_s
+    last_err = None
     for attempt in range(1, policy.max_attempts + 1):
         try:
-            return fn(batch), attempt
-        except policy.retryable:
+            return fn(batch), attempt, last_err
+        except policy.retryable as e:
             if attempt == policy.max_attempts:
                 raise
+            last_err = f"{type(e).__name__}: {e}"[:200]
             policy.sleep(delay)
             delay *= policy.backoff_mult
     raise AssertionError("unreachable")
@@ -63,7 +69,7 @@ def retrying(fn, policy: RetryPolicy | None = None,
     policy = policy or RetryPolicy()
 
     def wrapped(batch):
-        out, attempts = run_with_retry(fn, batch, policy)
+        out, attempts, _err = run_with_retry(fn, batch, policy)
         if attempts_col is not None:
             out = out.append_column(
                 attempts_col,

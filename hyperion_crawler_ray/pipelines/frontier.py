@@ -116,7 +116,14 @@ def bucket_of_many(digests: list[bytes], n_buckets: int) -> np.ndarray:
 
 def build_fetch_index(pages_path: str, idx_dir: str, n_buckets: int) -> None:
     """Index the corpus once: canonicalize ``url``, add ``url_hash`` and
-    ``bucket``, write Hive-partitioned by bucket. Idempotent via marker."""
+    ``bucket``, write Hive-partitioned by bucket. Idempotent via marker.
+
+    Round 3: the index is globally sorted by ``url_hash`` before the
+    partitioned write, so each file a bucket holds covers a narrow
+    contiguous hash range (one file per sorted block per bucket) —
+    per-round fetch reads can then skip whole files/row groups via
+    parquet min/max statistics when a round touches few URLs in that
+    bucket (the ``isin`` filter in ``_fetch_bucket_task``)."""
     marker = os.path.join(idx_dir, "_IDX_SUCCESS")
     if os.path.exists(marker):
         return
@@ -141,6 +148,7 @@ def build_fetch_index(pages_path: str, idx_dir: str, n_buckets: int) -> None:
     (
         rd.read_parquet(pages_path)
         .map_batches(add_keys, batch_format="pyarrow", batch_size=4096)
+        .sort("url_hash")
         .write_parquet(idx_dir, partition_cols=["bucket"])
     )
     with open(marker, "w") as f:
@@ -304,10 +312,17 @@ class ExtractWithRetry:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.retry import run_with_retry
-        out, attempts = run_with_retry(self._base, batch, self.policy)
-        return out.append_column(
+        out, attempts, err = run_with_retry(self._base, batch, self.policy)
+        out = out.append_column(
             "fetch_attempts",
             pa.array(np.full(out.num_rows, attempts, np.int32), pa.int32()))
+        # sample the retried fault's message on the batch's first row
+        # (nullable elsewhere) — lineage truncates to the first 10, the
+        # reference's LoadResult error-list semantics
+        sample = ([err] + [None] * (out.num_rows - 1)) if err and \
+            out.num_rows else [None] * out.num_rows
+        return out.append_column("fetch_error_sample",
+                                 pa.array(sample, pa.string()))
 
 
 def _explode_links(batch: pa.Table, decay: float) -> pa.Table:
@@ -460,11 +475,13 @@ def _prepare_round_dir(out_dir: str, r: int) -> tuple[str, str]:
     return rdir, tmp
 
 
-def _bucket_metrics(extracted, n_buckets: int) -> list[dict]:
+def _bucket_metrics(extracted, n_buckets: int):
     """Per-PARTITION fetch metrics (north_rule: per-partition lineage):
-    pages fetched + retry count per index bucket this round. Computed as
+    pages fetched + retry count per index bucket this round, plus up to
+    10 sampled retry-error messages (the reference LoadResult's
+    first-10-errors list, api/src/etl/base/loader.py:58). Computed as
     fixed-size per-batch count vectors summed on the driver — traffic is
-    O(blocks x n_buckets), never O(pages)."""
+    O(blocks x n_buckets), never O(pages). Returns (rows, samples)."""
 
     def partial(t: pa.Table) -> pa.Table:
         b = bucket_of_many(t.column("url_hash").to_pylist(), n_buckets)
@@ -472,11 +489,18 @@ def _bucket_metrics(extracted, n_buckets: int) -> list[dict]:
         counts = np.bincount(b, minlength=n_buckets).astype(np.int64)
         rets = np.bincount(b, weights=att - 1,
                            minlength=n_buckets).astype(np.int64)
+        errs: list[str] = []
+        if "fetch_error_sample" in t.column_names:
+            col = t.column("fetch_error_sample")
+            errs = col.drop_null().to_pylist()[:3]
         return pa.table({"counts": pa.array([counts.tobytes()], pa.binary()),
-                         "rets": pa.array([rets.tobytes()], pa.binary())})
+                         "rets": pa.array([rets.tobytes()], pa.binary()),
+                         "errs": pa.array([errs],
+                                          pa.list_(pa.string()))})
 
     counts = np.zeros(n_buckets, np.int64)
     rets = np.zeros(n_buckets, np.int64)
+    samples: list[str] = []
     if isinstance(extracted, pa.Table):
         parts = [partial(extracted)] if extracted.num_rows else []
     else:
@@ -484,12 +508,16 @@ def _bucket_metrics(extracted, n_buckets: int) -> list[dict]:
             partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow")
     for batch in parts:
-        for raw_c, raw_r in zip(batch.column("counts").to_pylist(),
-                                batch.column("rets").to_pylist()):
+        for raw_c, raw_r, errs in zip(batch.column("counts").to_pylist(),
+                                      batch.column("rets").to_pylist(),
+                                      batch.column("errs").to_pylist()):
             counts += np.frombuffer(raw_c, dtype=np.int64)
             rets += np.frombuffer(raw_r, dtype=np.int64)
-    return [{"bucket": int(b), "rows_out": int(counts[b]),
+            if len(samples) < 10:
+                samples.extend(errs)
+    rows = [{"bucket": int(b), "rows_out": int(counts[b]),
              "retries": int(rets[b])} for b in np.nonzero(counts)[0]]
+    return rows, samples[:10]
 
 
 def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
@@ -497,7 +525,9 @@ def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
                   order_tbl: pa.Table | None, shards: SeenShards,
                   stage_t: dict, retries: int = 0,
                   cfg: CrawlConfig | None = None,
-                  bucket_rows: list[dict] | None = None) -> None:
+                  bucket_rows: list[dict] | None = None,
+                  error_samples: list[str] | None = None) -> None:
+    from ..monitor import evaluate_alerts
     from ..schema import LINEAGE_SCHEMA
 
     if order_tbl is not None:  # driver path; distributed rounds write order/
@@ -537,9 +567,20 @@ def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
         "wall_ms": wall_ms, "parameters": json.dumps(params),
         "result_summary": json.dumps({"selected": n_selected,
                                       "fetched": n_fetched,
-                                      "pending_next": n_next})})
-    pq.write_table(pa.Table.from_pylist(lineage, schema=LINEAGE_SCHEMA),
-                   os.path.join(tmp, "lineage.parquet"))
+                                      "pending_next": n_next,
+                                      # reference LoadResult keeps the
+                                      # first 10 error strings
+                                      # (api/src/etl/base/loader.py:58)
+                                      "sample_errors":
+                                      (error_samples or [])[:10]})})
+    lineage_tbl = pa.Table.from_pylist(lineage, schema=LINEAGE_SCHEMA)
+    pq.write_table(lineage_tbl, os.path.join(tmp, "lineage.parquet"))
+    # event-emission analog of the reference workflow's per-task Pub/Sub
+    # publish (workflows/krx_etl_workflow.yaml:240-252, 274-328): every
+    # round appends its threshold-evaluation result as an alerts file —
+    # usually empty, one row per violation
+    pq.write_table(evaluate_alerts(lineage_tbl),
+                   os.path.join(tmp, "alerts.parquet"))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"round": r, "pending": n_next, "selected": n_selected,
                    "fetched": n_fetched, "retries": int(retries),
@@ -563,8 +604,12 @@ def _write_failure_record(out_dir: str, r: int, err: BaseException) -> None:
             "parameters": "{}",
             "result_summary": json.dumps(
                 {"error": f"{type(err).__name__}: {err}"[:500]})}]
-    pq.write_table(pa.Table.from_pylist(row, schema=LINEAGE_SCHEMA),
-                   os.path.join(fdir, f"round={r:04d}.parquet"))
+    tbl = pa.Table.from_pylist(row, schema=LINEAGE_SCHEMA)
+    pq.write_table(tbl, os.path.join(fdir, f"round={r:04d}.parquet"))
+    # emit the task_failed alert alongside (Pub/Sub failure-event analog)
+    from ..monitor import evaluate_alerts
+    pq.write_table(evaluate_alerts(tbl),
+                   os.path.join(fdir, f"alerts-round={r:04d}.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -627,11 +672,20 @@ def _split_block_by_bucket(t: pa.Table, n_buckets: int):
 def _fetch_bucket_task(paths: list[str], sched_refs: list,
                        columns: list[str]) -> pa.Table:
     """Read ONE index bucket (column-pruned) and inner-join it against
-    that bucket's schedule pieces on the binary url_hash."""
+    that bucket's schedule pieces on the binary url_hash.
+
+    Round 3 memory diet: instead of concatenating the FULL bucket and
+    joining, each file is scanned with an ``isin(scheduled hashes)``
+    pushdown — parquet row groups whose min/max hash range contains no
+    scheduled URL are skipped entirely (the index is written url_hash-
+    sorted in 2048-row groups), and only matching rows ever materialize.
+    The join then runs on |schedule|-sized input, not |bucket|-sized."""
+    import pyarrow.dataset as pads
+
     pieces = [s for s in ray.get(list(sched_refs)) if s is not None]
     sched = pa.concat_tables(pieces)
-    idx = pa.concat_tables([pq.read_table(p, columns=columns)
-                            for p in paths])
+    want = pc.field("url_hash").isin(sched.column("url_hash").combine_chunks())
+    idx = pads.dataset(paths).to_table(columns=columns, filter=want)
     return idx.join(sched, keys="url_hash", join_type="inner")
 
 
@@ -643,17 +697,12 @@ def _assign_seq(selected: rd.Dataset, r: int, order_dir: str | None):
     block refs (frontier cols + seq) and their row counts."""
     sorted_ds = selected.sort(["priority", "hash_hex"],
                               descending=[True, False]).materialize()
-    # block row counts straight from the materialized metadata (no task
-    # round-trip); to_arrow_refs flattens bundles in the same order and
-    # converts any pandas-typed sort blocks to Arrow
-    meta_counts = []
-    for bundle in sorted_ds.iter_internal_ref_bundles():
-        for _, meta in bundle.blocks:
-            meta_counts.append(meta.num_rows)
+    # public-API block counts: one tiny task per block returning an int;
+    # Ray's locality-aware scheduling runs each where its block lives,
+    # so nothing ships (replaces the private iter_internal_ref_bundles
+    # metadata walk, per round-2 review)
     all_refs = sorted_ds.to_arrow_refs()
-    if len(all_refs) != len(meta_counts) or any(c is None
-                                               for c in meta_counts):
-        meta_counts = ray.get([_block_nrows.remote(x) for x in all_refs])
+    meta_counts = ray.get([_block_nrows.remote(x) for x in all_refs])
     # drop empty blocks: upstream pandas map_groups can emit ZERO-COLUMN
     # empty blocks that Ray passes through map stages untouched — no
     # rows but also no schema, and they poison the per-bucket split
@@ -782,7 +831,10 @@ def _fetch_extract(sched: pd.DataFrame, sched_map: dict, idx_dir: str,
 
 
 def _pages_from_extracted(t: pa.Table, r: int) -> pa.Table:
-    t = t.drop_columns(["links"])
+    drop = ["links"]
+    if "fetch_error_sample" in t.column_names:
+        drop.append("fetch_error_sample")  # lineage-only, not page data
+    t = t.drop_columns(drop)
     idx = t.schema.get_field_index("text_extracted")
     return t.rename_columns(
         ["text" if i == idx else n for i, n in enumerate(t.column_names)]
@@ -862,6 +914,7 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
     n_fetched = 0
     retries = 0
     bucket_rows: list[dict] = []
+    err_samples: list[str] = []
     new_rows = _EMPTY_FRONTIER.to_pandas()
     if extracted is not None:
         ex_tbl = pa.concat_tables(
@@ -872,7 +925,7 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
             n_fetched = ex_tbl.num_rows
             retries = int(pc.sum(ex_tbl.column("fetch_attempts")).as_py()
                           or 0) - n_fetched
-            bucket_rows = _bucket_metrics(ex_tbl, cfg.n_buckets)
+            bucket_rows, err_samples = _bucket_metrics(ex_tbl, cfg.n_buckets)
             pq_dir = os.path.join(tmp, "pages")
             os.makedirs(pq_dir, exist_ok=True)
             pq.write_table(_pages_from_extracted(ex_tbl, r),
@@ -897,7 +950,8 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
 
     _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
                   n_next, order_tbl, shards, stage_t, retries=retries,
-                  cfg=cfg, bucket_rows=bucket_rows)
+                  cfg=cfg, bucket_rows=bucket_rows,
+                  error_samples=err_samples)
     return next_tbl if n_next else None
 
 
@@ -1018,6 +1072,7 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     n_fetched = 0
     retries = 0
     bucket_rows: list[dict] = []
+    err_samples: list[str] = []
     next_pending = deferred
     if extracted is not None:
         n_fetched = extracted.count()  # metadata-only on materialized
@@ -1026,7 +1081,7 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
             # the round totals (was: a separate sum() pass + a metrics
             # pass — a fixed serial cost per round that taxes the
             # high-parallelism leg of the scaling pair)
-            bucket_rows = _bucket_metrics(extracted, cfg.n_buckets)
+            bucket_rows, err_samples = _bucket_metrics(extracted, cfg.n_buckets)
             retries = sum(r["retries"] for r in bucket_rows)
         stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
         _t = time.perf_counter()
@@ -1070,7 +1125,7 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
     stage_t["checkpoint"] = round(time.perf_counter() - _t, 3)
     _finish_round(tmp, rdir, r, t0, n_pending, n_selected, n_fetched,
                   n_next, None, shards, stage_t, retries=retries, cfg=cfg,
-                  bucket_rows=bucket_rows)
+                  bucket_rows=bucket_rows, error_samples=err_samples)
     return next_pending if n_next > 0 else None
 
 

@@ -272,6 +272,51 @@ def to_sink_schema(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(cast, batch_format="pyarrow")
 
 
+def write_oracle_fixtures(n_tickers: int = 60, n_days: int = 12,
+                          out_dir: str = "/tmp/hyperion_md_oracle") -> str:
+    """Export the deterministic synthetic inputs of the flagship pipeline
+    as DuckDB-readable parquet (round 3, VERDICT item 7): ``raw.parquet``
+    is gen_raw_quotes with the ohlcv struct flattened; ``uuids.parquet``
+    is the (symbol, uuid) dimension the pipeline must converge to —
+    preseeded rows keep their master uuid, the rest carry the
+    deterministic uuid5 mint. The uuid VALUES are shared with the
+    pipeline by construction (uuid5 is not SQL-expressible); everything
+    else — transform arithmetic, validation mask, cap normalization,
+    lookup ROUTING, dedup, holiday filter — is independently re-derived
+    by SQL_MARKETDATA. Idempotent: rewrites the same bytes each call."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    raw = gen_raw_quotes(n_tickers=n_tickers, n_days=n_days)
+    o = raw.column("ohlcv")
+    flat = pa.table({
+        "ticker": raw.column("ticker"),
+        "name_kr": raw.column("name_kr"),
+        "market": raw.column("market"),
+        "trade_date": raw.column("trade_date"),
+        "open": pc.struct_field(o, "open"),
+        "high": pc.struct_field(o, "high"),
+        "low": pc.struct_field(o, "low"),
+        "close": pc.struct_field(o, "close"),
+        "volume": pc.struct_field(o, "volume"),
+        "change_rate": pc.struct_field(o, "change_rate"),
+        "market_cap": raw.column("market_cap"),
+        "shares": raw.column("shares"),
+    })
+    _pq.write_table(flat, os.path.join(out_dir, "raw.parquet"))
+    dim = pa.table({
+        "symbol": pa.array([f"{t:06d}" for t in range(n_tickers)],
+                           pa.string()),
+        "uuid": pa.array([f"preseeded-{t}" if t % 2 == 0
+                          else asset_uuid(f"{t:06d}")
+                          for t in range(n_tickers)], pa.string()),
+    })
+    _pq.write_table(dim, os.path.join(out_dir, "uuids.parquet"))
+    return out_dir
+
+
 def write_snapshot(ds: rd.Dataset, path: str) -> None:
     """Sink the snapshot as decimal-typed parquet (S-6 chunked bulk
     insert analog: one file per block, resumable layout)."""

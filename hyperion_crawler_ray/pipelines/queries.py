@@ -1397,28 +1397,91 @@ def q_hll_distinct(sf_dir):
 
 def q_sampled_validation(sf_dir):
     """O-3 validation sampling (config validation_sampling_rate): run the
-    quality predicate over a seeded random sample. Rows-only (sampling is
-    not SQL-reproducible)."""
-    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    sample = ds.random_sample(0.1, seed=42)
-    return tr.filter_expr(sample,
+    quality predicate over a ~10% sample. Round 3: the sample is drawn by
+    the deterministic Knuth-hash rank from stages/sampling.py (a pure
+    function of the data, unlike ``random_sample`` whose selection
+    depends on block layout) — so the very same rows fall out of the SQL
+    oracle and the driver gets a full value-hash check."""
+    from ..stages.sampling import sample_rank_hash
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_quantity"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        # composite row id: orderkey * 8 + linenumber (linenumber <= 7)
+        rid = (t.column("l_orderkey").to_numpy(zero_copy_only=False)
+               * 8 + t.column("l_linenumber")
+               .to_numpy(zero_copy_only=False))
+        keep = sample_rank_hash(rid) % np.uint64(10) == 0  # ~10%
+        return t.filter(pa.array(keep))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    return tr.filter_expr(sampled,
                           lambda t: pc.greater(t.column("l_quantity"), 0.0))
+
+
+SQL_SAMPLED_VALIDATION = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761::HUGEINT)
+      % 4294967296 % 10 = 0
+  AND l_quantity > 0
+"""
 
 
 def q_marketdata_pipeline(sf_dir):
     """The reference's flagship E->T->L re-expressed (T-11/T-12/D-1/S-5;
     pipelines/marketdata.py) over deterministic synthetic raw quotes.
-    Rows-only here; tests/test_marketdata.py holds the value oracle."""
+    Round 3: oracle-checked — the deterministic inputs are exported as
+    parquet (marketdata.write_oracle_fixtures) and SQL_MARKETDATA
+    re-derives the whole transform/validate/lookup/dedup/filter chain in
+    DuckDB (only the uuid5 mint values are shared by construction;
+    tests/test_marketdata.py additionally holds the pandas value
+    oracle)."""
     import pandas as pd
 
-    from .marketdata import gen_raw_quotes, run_pipeline
+    from .marketdata import gen_raw_quotes, run_pipeline, \
+        write_oracle_fixtures
 
+    write_oracle_fixtures(n_tickers=60, n_days=12)
     raw = gen_raw_quotes(n_tickers=60, n_days=12)
     master = pd.DataFrame({
         "symbol": [f"{t:06d}" for t in range(0, 60, 2)],
         "uuid": [f"preseeded-{t}" for t in range(0, 60, 2)],
     })
     return run_pipeline(raw, master)
+
+
+SQL_MARKETDATA = """
+WITH raw AS (
+  SELECT * FROM read_parquet('/tmp/hyperion_md_oracle/raw.parquet')),
+dim AS (
+  SELECT * FROM read_parquet('/tmp/hyperion_md_oracle/uuids.parquet')),
+t AS (
+  SELECT upper(ticker) AS symbol, name_kr, market, trade_date,
+         open, high, low, close, volume,
+         CASE WHEN capd < 1e8 THEN capd * 1e8 ELSE capd END AS market_cap,
+         shares,
+         round(close * change_rate / 100.0, 2) AS change_amount,
+         round(close * volume, 2) AS trading_value
+  FROM (SELECT *,
+               TRY_CAST(NULLIF(regexp_replace(market_cap,
+                   '[^0-9.\\-]', '', 'g'), '') AS DOUBLE) AS capd
+        FROM raw)
+  WHERE close IS NOT NULL AND high >= low AND high >= close
+    AND low <= close AND volume >= 0),
+j AS (
+  SELECT t.*, dim.uuid, 'KRW' AS currency, 'KRX' AS data_source
+  FROM t JOIN dim ON t.symbol = dim.symbol),
+d AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY uuid, trade_date
+      ORDER BY trade_date, symbol) AS rn
+  FROM j)
+SELECT symbol, name_kr, market, trade_date, open, high, low, close,
+       volume, market_cap, shares, change_amount, trading_value,
+       uuid, currency, data_source
+FROM d WHERE rn = 1 AND volume > 0
+"""
 
 
 # =========================================================================
@@ -1531,4 +1594,6 @@ ORACLE_SQL = {
     "tfidf_topterms": SQL_TFIDF,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_stats": SQL_EMBEDDING_STATS,
+    "sampled_validation": SQL_SAMPLED_VALIDATION,
+    "marketdata_pipeline": SQL_MARKETDATA,
 }

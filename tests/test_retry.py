@@ -28,10 +28,11 @@ def test_succeeds_after_transient_failures():
 
     pol = RetryPolicy(max_attempts=3, backoff_base_s=0.1,
                       backoff_mult=2.0, sleep=sleeps.append)
-    out, attempts = run_with_retry(fn, _batch(), pol)
+    out, attempts, last_err = run_with_retry(fn, _batch(), pol)
     assert attempts == 3
     assert out.num_rows == 4
     assert sleeps == [0.1, 0.2]  # exponential backoff sequence
+    assert last_err == "TransientError: flaky"  # sampled for lineage
 
 
 def test_budget_exhaustion_raises_last_error():
