@@ -192,6 +192,12 @@ def main():
         # cluster, each node bringing its own memory system, does not.
         # 2/8 keeps both legs inside the box's bandwidth envelope.
         lo, hi = 2, 8
+        # optional override: `bench.py --scaling 4 16` measures another
+        # pair under the same protocol (used for the BASELINE.md 4/16
+        # disclosure)
+        args = [a for a in sys.argv[1:] if a != "--scaling"]
+        if len(args) >= 2:
+            lo, hi = int(args[0]), int(args[1])
         # the scaling pair runs a 2x universe: per-round fixed latency
         # (politeness shuffle, seq sort, checkpoint — ~1-2 s/round at
         # any cpu count) amortizes over real work, as it would at the

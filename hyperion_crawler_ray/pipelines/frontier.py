@@ -675,17 +675,49 @@ def _fetch_bucket_task(paths: list[str], sched_refs: list,
     that bucket's schedule pieces on the binary url_hash.
 
     Round 3 memory diet: instead of concatenating the FULL bucket and
-    joining, each file is scanned with an ``isin(scheduled hashes)``
-    pushdown — parquet row groups whose min/max hash range contains no
-    scheduled URL are skipped entirely (the index is written url_hash-
-    sorted in 2048-row groups), and only matching rows ever materialize.
-    The join then runs on |schedule|-sized input, not |bucket|-sized."""
-    import pyarrow.dataset as pads
+    joining, row groups are pruned MANUALLY against the scheduled hash
+    set via parquet min/max statistics (the index is written
+    url_hash-sorted, so each file/row-group covers a narrow contiguous
+    hash range), the surviving groups are read single-threaded
+    (``use_threads=False`` — 16 of these tasks run concurrently; a
+    per-task Arrow scanner pool oversubscribes the box, measured -35%
+    at 8 cpus with ``pyarrow.dataset.to_table(filter=...)``), and only
+    ``is_in``-matching rows ever materialize. The join then runs on
+    |schedule|-sized input, not |bucket|-sized."""
+    import bisect
 
     pieces = [s for s in ray.get(list(sched_refs)) if s is not None]
     sched = pa.concat_tables(pieces)
-    want = pc.field("url_hash").isin(sched.column("url_hash").combine_chunks())
-    idx = pads.dataset(paths).to_table(columns=columns, filter=want)
+    want = sched.column("url_hash").combine_chunks()
+    wanted_sorted = sorted(want.to_pylist())
+    tabs = []
+    schema = None
+    for p in paths:
+        f = pq.ParquetFile(p)
+        if schema is None:
+            schema = f.schema_arrow
+        try:
+            ci = f.schema_arrow.names.index("url_hash")
+        except ValueError:
+            ci = -1
+        keep = []
+        for i in range(f.metadata.num_row_groups):
+            if ci >= 0:
+                st = f.metadata.row_group(i).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    j = bisect.bisect_left(wanted_sorted, st.min)
+                    if j >= len(wanted_sorted) or wanted_sorted[j] > st.max:
+                        continue  # no scheduled hash in this group's range
+            keep.append(i)
+        if keep:
+            t = f.read_row_groups(keep, columns=columns, use_threads=False)
+            t = t.filter(pc.is_in(t.column("url_hash"), value_set=want))
+            if t.num_rows:
+                tabs.append(t)
+    if not tabs:
+        idx = schema.empty_table().select(columns)
+    else:
+        idx = pa.concat_tables(tabs)
     return idx.join(sched, keys="url_hash", join_type="inner")
 
 

@@ -875,24 +875,59 @@ FROM documents
 
 
 def q_quality_score(sf_dir):
+    """Quality signals + PII redaction (round 3, stages/curation.py):
+    a deterministic email+phone is planted per doc so the redaction
+    kernels fire on every row, and DuckDB re-derives the identical
+    redacted text with the same RE2 patterns — full value-hash parity
+    including the rewritten strings."""
+    from ..stages.curation import redact_pii
+
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     out = tx.quality_score(ds)
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.string())
+        planted = pc.binary_join_element_wise(
+            t.column("text"), " contact_", did,
+            "@example.com tel +1 555-000-1234", "")
+        return t.append_column("ptext", planted)
+
+    out = redact_pii(out.map_batches(plant, batch_format="pyarrow"),
+                     "ptext")
     return out.select_columns(["doc_id", "n_tokens", "stopword_ratio",
-                               "mean_word_len"])
+                               "mean_word_len", "n_emails", "n_phones",
+                               "text_redacted"])
 
 
 SQL_QUALITY = f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-  FROM documents)
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         text || ' contact_' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel +1 555-000-1234' AS ptext
+  FROM documents),
+red AS (
+  SELECT *, len(regexp_extract_all(ptext, '@EMAIL@')) AS n_emails,
+         regexp_replace(ptext, '@EMAIL@', '<EMAIL>', 'g') AS r1
+  FROM toks)
 SELECT doc_id,
        CAST(array_length(t) AS BIGINT) AS n_tokens,
        round(CAST(len(list_filter(t, x -> x IN {STOP_SQL})) AS DOUBLE)
              / greatest(array_length(t), 1), 6) AS stopword_ratio,
        round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-             / greatest(array_length(t), 1), 6) AS mean_word_len
-FROM toks
+             / greatest(array_length(t), 1), 6) AS mean_word_len,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(r1, '@PHONE@')) AS BIGINT) AS n_phones,
+       regexp_replace(r1, '@PHONE@', '<PHONE>', 'g') AS text_redacted
+FROM red
 """
+# splice the RE2 patterns (shared verbatim with stages/curation.py —
+# both engines run RE2, so the rewrites match byte-for-byte); doubled
+# f-string braces would mangle the quantifiers, hence the placeholders
+from ..stages.curation import EMAIL_RE as _EMAIL_RE  # noqa: E402
+from ..stages.curation import PHONE_RE as _PHONE_RE  # noqa: E402
+
+SQL_QUALITY = SQL_QUALITY.replace("@EMAIL@", _EMAIL_RE) \
+    .replace("@PHONE@", _PHONE_RE)
 
 
 
@@ -1361,8 +1396,27 @@ def q_text_scores(sf_dir):
     ds = dd.simhash_column(ds, "text")
     ds = ds.map_batches(tx.LangId, batch_format="pandas", concurrency=2,
                         batch_size=2048, num_cpus=0.5)
+    # round 3 curation additions (stages/curation.py): Gopher
+    # repetition/quality rules (actor pool) + 13-gram benchmark
+    # decontamination — bench = the first 5 docs' texts, so those docs
+    # must flag contaminated (self-validating; planted-overlap pytest in
+    # tests/test_curation.py)
+    from ..stages.curation import (GopherRules, benchmark_ngram_hashes,
+                                   decontaminate)
+
+    import pyarrow.parquet as _pq
+    bench_texts = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).sort_by("doc_id") \
+        .column("text").to_pylist()[:5]
+    ds = GopherRules.stage(ds, concurrency=2)
+    ds = decontaminate(ds, "text", "doc_id",
+                       benchmark_ngram_hashes(bench_texts), append=True)
     return ds.select_columns(["doc_id", "lang", "lang_pred",
-                              "n_bpe_tokens", "rhash", "simhash"]) \
+                              "n_bpe_tokens", "rhash", "simhash",
+                              "dup_line_frac", "top2gram_frac",
+                              "symbol_word_ratio", "gopher_pass",
+                              "n_overlap", "contaminated"]) \
              .map_batches(lambda t: t, batch_format="pyarrow")
 
 
