@@ -204,12 +204,19 @@ def main():
         # 100 TB design point; same input at BOTH levels.
         os.environ.setdefault("GRAFT_BENCH_PAGES", "240000")
         os.environ.setdefault("GRAFT_DENSE_SEEDS", "1")
-        # best-of-2 per level and a settle pause between children
-        # (machine noise is ±10-25% on short runs)
+        # best-of-2 per level, INTERLEAVED (lo,hi,lo,hi) with settle
+        # pauses: machine noise is ±10-25% on short runs and drifts on
+        # the ~10-min scale, so back-to-back same-level runs would share
+        # the drift while the other level lands in a different regime.
+        # Interleaving gives each level one sample from each regime;
+        # best-of per level then compares like with like.
         import time as _time
-        r_lo = run_child(lo)
-        _time.sleep(10)
-        r_hi = run_child(hi)
+        legs = {lo: [], hi: []}
+        for n in (lo, hi, lo, hi):
+            legs[n].append(run_child(n))
+            _time.sleep(10)
+        r_lo = max(legs[lo], key=lambda r: r["pages_per_sec"])
+        r_hi = max(legs[hi], key=lambda r: r["pages_per_sec"])
         pps_lo, pps_hi = r_lo["pages_per_sec"], r_hi["pages_per_sec"]
         eff = (pps_hi / pps_lo) / (hi / lo)
         print(json.dumps({
@@ -220,6 +227,8 @@ def main():
             "pages_per_sec_lo": pps_lo, "pages_per_sec_hi": pps_hi,
             "crawl_sec_lo": r_lo["crawl_sec"], "crawl_sec_hi": r_hi["crawl_sec"],
             "suite_sec_lo": r_lo["value"], "suite_sec_hi": r_hi["value"],
+            "all_pages_per_sec_lo": [r["pages_per_sec"] for r in legs[lo]],
+            "all_pages_per_sec_hi": [r["pages_per_sec"] for r in legs[hi]],
         }))
     else:
         print(json.dumps(run_bench()))
