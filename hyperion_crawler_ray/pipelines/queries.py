@@ -1100,7 +1100,10 @@ def q_neardup_pairs(sf_dir):
     pairs Jaccard-verified over documents, and embedding-cosine LSH
     pairs over embeddings, unified as (family, id_a, id_b, score) —
     rows-only (sketch-based by design; planted-pair recall asserted in
-    tests/test_stages.py)."""
+    tests/test_stages.py). Round 3 adds the SemDeDup family
+    (stages/kmeans.py): distributed-Lloyd k-means clusters the embedding
+    space, pairs are compared only within a cluster (planted-pair +
+    mega-cluster-cap pytest in tests/test_kmeans.py)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     sigs = dd.minhash_signatures(ds, "text", "doc_id", num_perm=64)
     pairs = dd.lsh_candidate_pairs(sigs, "doc_id", bands=16)
@@ -1127,19 +1130,44 @@ def q_neardup_pairs(sf_dir):
             "score": t.column("cos").cast(pa.float64()),
         })
 
+    from ..stages.kmeans import semantic_near_dup
+
+    sem = semantic_near_dup(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", threshold=0.95, n_clusters=8, iters=3)
+
+    def sem_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "family": pa.array(["semantic"] * t.num_rows, pa.string()),
+            "id_a": t.column("id_a").cast(pa.int64()),
+            "id_b": t.column("id_b").cast(pa.int64()),
+            "score": t.column("cos").cast(pa.float64()),
+        })
+
     return mh.map_batches(mh_rows, batch_format="pyarrow").union(
-        ed.map_batches(ed_rows, batch_format="pyarrow"))
+        ed.map_batches(ed_rows, batch_format="pyarrow"),
+        sem.map_batches(sem_rows, batch_format="pyarrow"))
 
 
 def q_ivf_topk(sf_dir):
     """IVF top-k against the cell-partitioned pruned-read layout, made
     self-validating: each IVF hit carries ``in_exact`` (is it in the
     brute-force exact top-k?) so the driver row records recall, not just
-    shape (rows-only — approximate by design)."""
+    shape (rows-only — approximate by design). Round 3: the coarse
+    quantizer is the DISTRIBUTED Lloyd fit (stages/kmeans.py — per-batch
+    sufficient-statistic combiner, broadcast centroid updates) instead of
+    the driver-sample fit; ``inertia_monotone`` self-validates the
+    classic Lloyd convergence guarantee on every driver row."""
+    from ..stages.kmeans import kmeans_fit
+
     q = _query_vec(sf_dir)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cents = annm.ivf_build_centroids(ds, "embedding", n_cells=8)
-    idx_dir = os.path.join("/tmp", "hyperion_ivf_"
+    fit = kmeans_fit(ds, "embedding", k=8, iters=6, seed=5)
+    inert = fit["inertia"]
+    monotone = all(b <= a + 1e-6 for a, b in zip(inert, inert[1:]))
+    cents = fit["centroids"] / np.maximum(
+        np.linalg.norm(fit["centroids"], axis=1, keepdims=True), 1e-12)
+    idx_dir = os.path.join("/tmp", "hyperion_ivf_r3_"
                            + os.path.basename(os.path.normpath(sf_dir)))
     annm.ivf_build_index(ds, "embedding", cents, idx_dir)
     ivf = annm.ivf_topk_indexed(idx_dir, "embedding", "vec_id", q, k=10,
@@ -1150,7 +1178,8 @@ def q_ivf_topk(sf_dir):
     exact_ids = set(exact["vec_id"])
     ivf = ivf.copy()
     ivf["in_exact"] = ivf["vec_id"].isin(exact_ids)
-    return ivf[["rank", "vec_id", "cos", "in_exact"]]
+    ivf["inertia_monotone"] = monotone
+    return ivf[["rank", "vec_id", "cos", "in_exact", "inertia_monotone"]]
 
 
 def q_multimodal_pipeline(sf_dir):

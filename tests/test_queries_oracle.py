@@ -42,6 +42,17 @@ def test_rows_only_queries_run(name):
         assert set(got.columns) == {"media_id", "artifact", "meta_a",
                                     "meta_b", "blob"}
         assert set(got["artifact"]) == {"thumbnail", "frame"}
+    if name == "neardup_pairs":
+        # round 3: the SemDeDup family joins the minhash + embedding-LSH
+        # producers; sf0.001 has no cos>=0.95 embedding pairs (max
+        # off-diag 0.479) so presence is asserted by the planted-pair
+        # tests (tests/test_kmeans.py) — here: any emitted pair must
+        # clear its family's threshold
+        sem = got[got["family"] == "semantic"]
+        assert (sem["score"] >= 0.95).all()
+        assert set(got["family"]) <= {"minhash", "embedding", "semantic"}
+    if name == "ivf_topk":
+        assert got["inertia_monotone"].all()  # Lloyd convergence held
     if name == "crawl_page_functions":
         assert got["canon_url"].notna().all()
         assert got["canon_roundtrip"].all()
