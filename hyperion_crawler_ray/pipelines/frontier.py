@@ -193,19 +193,73 @@ def _canonicalize_stage(batch: pa.Table) -> pa.Table:
     )
 
 
+@ray.remote
+def _shard_split_task(tbl: pa.Table, n_shards: int):
+    """One hash-exchange map task: partition a candidate block by its
+    precomputed ``shard`` column into ``n_shards`` zero-copy slices
+    (argsort + searchsorted — no per-shard scan). Returned as
+    ``num_returns=n_shards`` objects so each reducer fetches ONLY its
+    shard's bytes."""
+    sh = tbl.column("shard").to_numpy(zero_copy_only=False)
+    order = np.argsort(sh, kind="stable")
+    t2 = tbl.take(pa.array(order))
+    bounds = np.searchsorted(sh[order], np.arange(n_shards + 1))
+    out = tuple(t2.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k]))
+                for k in range(n_shards))
+    return out if n_shards > 1 else out[0]
+
+
+@ray.remote
+def _shard_admit_task(robots_idx: "RobotsIndex", actor,
+                      *pieces: pa.Table) -> pa.Table:
+    """One hash-exchange reduce task = one seen-shard's admission:
+    global dedup (per-shard == global for this key), robots gate, and
+    the shard actor's single sorted-unique ``check_and_insert`` call."""
+    live = [p for p in pieces if p is not None and p.num_rows]
+    if not live:
+        return _EMPTY_FRONTIER
+    df = pa.concat_tables(live, promote_options="default").to_pandas()
+    df = df.sort_values(["hash_hex", "priority", "depth"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.drop_duplicates("hash_hex", keep="first")
+    mask = robots_idx.allowed_mask(df["host"].to_numpy(dtype=object),
+                                   df["url"].to_numpy(dtype=object))
+    df = df[mask]
+    if len(df):
+        # seen check+mark: sorted unique digests, one actor call per
+        # shard per round — the determinism contract of state/seen.py
+        new = ray.get(actor.check_and_insert.remote(list(df["url_hash"])))
+        df = df[np.asarray(new, dtype=bool)]
+    if not len(df):
+        return _EMPTY_FRONTIER
+    return pa.Table.from_pandas(df[list(_FRONTIER_COLS)],
+                                preserve_index=False) \
+        .cast(_EMPTY_FRONTIER.schema)
+
+
 def _admit_stage(ds: rd.Dataset, robots_ref, shards: SeenShards) -> rd.Dataset:
-    """Candidate admission in ONE shuffle: within-round exact dedup on
-    ``url_hash`` (winner: max priority, min depth — deterministic, SURVEY
-    §2.7 D-1), robots gate (broadcast semi-join, J-2), and the seen-filter
-    check-and-mark, all inside a single ``groupby(shard)``.
+    """Candidate admission: within-round exact dedup on ``url_hash``
+    (winner: max priority, min depth — deterministic, SURVEY §2.7 D-1),
+    robots gate (broadcast semi-join, J-2), and the seen-filter
+    check-and-mark, co-located per seen-shard.
 
     Correct because ``url_hash`` fully determines the shard — every
-    duplicate of a URL lands in the same group, so per-group dedup is
-    global dedup. A per-batch combiner pre-dedups before the shuffle so
-    hub-page link explosions shrink before moving. Each shard actor gets
-    exactly one call per round with sorted unique digests — the
-    determinism contract of state/seen.py.
-    """
+    duplicate of a URL lands in the same reducer, so per-shard dedup is
+    global dedup. A per-batch combiner pre-dedups before the exchange so
+    hub-page link explosions shrink before moving.
+
+    Shape (round 3): the shard co-location is a DIRECT hash exchange on
+    raw Ray tasks — split each block into ``n_shards`` slices
+    (``num_returns``), one reduce task per shard concatenates only its
+    slices — replacing ``groupby(shard)``, whose sort-based shuffle
+    (sample + range-sort + reduce) cost 6-12 s per heavy round at 8
+    cpus and was the dominant non-scaling stage. An all-to-all exchange
+    is inherent to admission; paying a full sort to hash-partition into
+    16 fixed shards is not. Intermediate object count is
+    blocks x n_shards, same as any shuffle; per-shard admission logic
+    (sort -> dedup -> robots -> ONE sorted-unique actor call) is
+    byte-identical to the groupby version, so the cuckoo-state oracle
+    equality is unchanged."""
     n_shards = shards.n_shards
     actors = shards.actors
 
@@ -216,29 +270,21 @@ def _admit_stage(ds: rd.Dataset, robots_ref, shards: SeenShards) -> rd.Dataset:
         df["shard"] = shard_of_many(list(df["url_hash"]), n_shards)
         return df
 
-    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
-        robots_idx: RobotsIndex = ray.get(robots_ref)
-        # global (per-shard == global for this key) dedup, deterministic winner
-        df = df.sort_values(["hash_hex", "priority", "depth"],
-                            ascending=[True, False, True], kind="mergesort")
-        df = df.drop_duplicates("hash_hex", keep="first")
-        # robots gate
-        mask = robots_idx.allowed_mask(df["host"].to_numpy(dtype=object),
-                                       df["url"].to_numpy(dtype=object))
-        df = df[mask]
-        if len(df) == 0:
-            return df.drop(columns=["shard"])
-        # seen check+mark: sorted unique digests, one actor call
-        digests = list(df["url_hash"])
-        new = ray.get(actors[int(df["shard"].iloc[0])]
-                      .check_and_insert.remote(digests))
-        return df[np.asarray(new, dtype=bool)].drop(columns=["shard"])
-
-    return _as_arrow(
-        ds.map_batches(pre_combine, batch_format="pandas")
-        .groupby("shard")
-        .map_groups(per_shard, batch_format="pandas")
-    )
+    pre = _as_arrow(ds.map_batches(pre_combine, batch_format="pandas")) \
+        .materialize()
+    block_refs = pre.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(_EMPTY_FRONTIER)
+    splits = [_shard_split_task.options(num_returns=n_shards)
+              .remote(ref, n_shards) for ref in block_refs]
+    if n_shards == 1:
+        splits = [[s] for s in splits]
+    admitted = [
+        _shard_admit_task.remote(robots_ref, actors[k],
+                                 *[sp[k] for sp in splits])
+        for k in range(n_shards)
+    ]
+    return rd.from_arrow_refs(admitted)
 
 
 def extract_batch(batch: pa.Table, score: bool = False) -> pa.Table:
@@ -1132,7 +1178,10 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         new_rows = _ingest(candidates, robots_ref, shards)
         next_pending = deferred.union(new_rows)
 
-    _t = time.perf_counter()
+    if extracted is None:
+        # the admit timer otherwise starts at the pages_write reset
+        # (the _ingest exchange runs eagerly inside that window)
+        _t = time.perf_counter()
     next_pending = next_pending.materialize()
     n_next = next_pending.count()
     # coalesce the pending frontier when union accumulation has left it
