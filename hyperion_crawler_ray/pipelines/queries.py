@@ -1134,7 +1134,7 @@ def q_neardup_pairs(sf_dir):
 
     sem = semantic_near_dup(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        "embedding", "vec_id", threshold=0.95, n_clusters=8, iters=3)
+        "embedding", "vec_id", threshold=0.95, n_clusters=8, iters=2)
 
     def sem_rows(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -82,6 +82,14 @@ def kmeans_fit(ds: rd.Dataset, vec_col: str, k: int, iters: int = 10,
     proj = ds.select_columns([vec_col])
     if materialize:
         proj = proj.materialize()
+        # tiny-block coalesce: a small input can arrive as dozens of
+        # ~30-row blocks (read parallelism targets cores, not rows) and
+        # every Lloyd iteration would schedule that many no-op tasks.
+        # At scale blocks are large and this is a no-op.
+        nb, n = proj.num_blocks(), proj.count()
+        tgt = max(1, min(nb, n // 4096 + 1))
+        if nb > 2 * tgt:
+            proj = proj.repartition(tgt).materialize()
     cent = _init_centroids(proj, vec_col, k, seed)
     k_eff, d = cent.shape
     inertias: list[float] = []
@@ -171,13 +179,15 @@ def semantic_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
     assigned = kmeans_assign(ds.select_columns([id_col, vec_col]),
                              vec_col, fit["centroids"])
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        x = _unit(vec_matrix(t.column(vec_col)))
-        n = len(ids)
+    def pairs(t: pa.Table | None) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
                           "cos": pa.array([], pa.float64())})
+        if t is None:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        x = _unit(vec_matrix(t.column(vec_col)))
+        n = len(ids)
         if n < 2:
             return empty
         order = np.argsort(ids, kind="stable")
@@ -201,6 +211,8 @@ def semantic_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
                          "cos": pa.array(np.round(g[iu, ju][m], 6),
                                          pa.float64())})
 
-    out = assigned.groupby("cluster").map_groups(
-        pairs, batch_format="pyarrow")
-    return out.map_batches(lambda t: t, batch_format="pyarrow")
+    # co-locate by cluster id with the direct hash exchange — a
+    # groupby(cluster) sort-shuffle costs seconds of fixed overhead per
+    # execution for what a dense-int partition gets in two task layers
+    from .exchange import exchange_map
+    return exchange_map(assigned, "cluster", n_clusters, pairs)
