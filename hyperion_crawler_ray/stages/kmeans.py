@@ -38,6 +38,18 @@ import ray.data as rd
 from ..functions.vectors import vec_matrix
 
 
+def _coalesce_tiny(mat: rd.MaterializedDataset) -> rd.Dataset:
+    """Tiny-block coalesce: a small input can arrive as dozens of
+    ~30-row blocks (read parallelism targets cores, not rows) and every
+    downstream execution would schedule that many no-op tasks. At scale
+    blocks are large and this is a no-op."""
+    nb, n = mat.num_blocks(), mat.count()
+    tgt = max(1, min(nb, n // 4096 + 1))
+    if nb > 2 * tgt:
+        return mat.repartition(tgt).materialize()
+    return mat
+
+
 def _unit(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=-1, keepdims=True)
     n[n == 0] = 1.0
@@ -81,15 +93,7 @@ def kmeans_fit(ds: rd.Dataset, vec_col: str, k: int, iters: int = 10,
     """
     proj = ds.select_columns([vec_col])
     if materialize:
-        proj = proj.materialize()
-        # tiny-block coalesce: a small input can arrive as dozens of
-        # ~30-row blocks (read parallelism targets cores, not rows) and
-        # every Lloyd iteration would schedule that many no-op tasks.
-        # At scale blocks are large and this is a no-op.
-        nb, n = proj.num_blocks(), proj.count()
-        tgt = max(1, min(nb, n // 4096 + 1))
-        if nb > 2 * tgt:
-            proj = proj.repartition(tgt).materialize()
+        proj = _coalesce_tiny(proj.materialize())
     cent = _init_centroids(proj, vec_col, k, seed)
     k_eff, d = cent.shape
     inertias: list[float] = []
@@ -175,9 +179,13 @@ def semantic_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
     Clusters larger than ``max_cluster_rows`` are star-paired against
     the row closest to the centroid (the SemDeDup representative) instead
     of all-pairs — the same mega-cluster cap the LSH path uses."""
-    fit = kmeans_fit(ds, vec_col, n_clusters, iters=iters, seed=seed)
-    assigned = kmeans_assign(ds.select_columns([id_col, vec_col]),
-                             vec_col, fit["centroids"])
+    # ONE materialized, coalesced (id, vec) projection feeds both the
+    # fit's iterations and the assignment — no second source read
+    proj = _coalesce_tiny(
+        ds.select_columns([id_col, vec_col]).materialize())
+    fit = kmeans_fit(proj, vec_col, n_clusters, iters=iters, seed=seed,
+                     materialize=False)
+    assigned = kmeans_assign(proj, vec_col, fit["centroids"])
 
     def pairs(t: pa.Table | None) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
