@@ -50,18 +50,50 @@ def _split_task(tbl: pa.Table, col: str, n: int):
 def _merge_task(fn, *pieces: pa.Table) -> pa.Table:
     live = [p for p in pieces if p is not None and p.num_rows]
     if not live:
-        return fn(None)
+        # empty partition: hand fn a TYPED zero-row slice of the input
+        # schema (every piece is a slice of a real block, so the schema
+        # is always available) — a pandas/arrow per-partition fn then
+        # produces typed empty output without a separate empty-case path
+        typed = next((p for p in pieces if p is not None), None)
+        return fn(typed.slice(0, 0) if typed is not None else None)
     return fn(pa.concat_tables(live, promote_options="default"))
+
+
+def coalesce_tiny(mat, rows_per_block: int = 8192):
+    """Tiny-block coalesce: small inputs arrive as dozens of ~1k-row
+    blocks (read parallelism targets cores, not rows), and the exchange
+    pays per (block x partition) intermediate object. At scale blocks
+    are large and this is a no-op; when blocks are pathologically small
+    it collapses them so object count stays sane."""
+    nb, n = mat.num_blocks(), mat.count()
+    tgt = max(1, min(nb, n // rows_per_block + 1))
+    if nb > 2 * tgt:
+        return mat.repartition(tgt).materialize()
+    return mat
+
+
+def _pd_partition(f: Callable[["pd.DataFrame"], "pd.DataFrame"]):
+    """Adapt a pandas per-group fn (the ``map_groups`` style already
+    used across the stages) to the exchange's Arrow contract."""
+    import pandas as pd
+
+    def g(t: pa.Table | None) -> pa.Table:
+        df = pd.DataFrame() if t is None else t.to_pandas()
+        return pa.Table.from_pandas(f(df), preserve_index=False)
+
+    return g
 
 
 def exchange_map(ds: rd.Dataset, part_col: str, n_parts: int,
                  fn: Callable[[pa.Table | None], pa.Table]) -> rd.Dataset:
     """Run ``fn`` once per partition over all rows whose ``part_col``
-    equals that partition id. ``fn`` receives ``None`` for an empty
-    partition and must return a (possibly empty) typed Arrow table —
-    the per-group contract of ``groupby().map_groups`` without the sort.
+    equals that partition id. For an empty partition ``fn`` receives a
+    typed zero-row table (input schema); only when the whole dataset
+    has no blocks does it receive ``None``. It must return a (possibly
+    empty) Arrow table — the per-group contract of
+    ``groupby().map_groups`` without the sort-based shuffle.
     """
-    mat = ds.materialize()
+    mat = coalesce_tiny(ds.materialize())
     refs = mat.to_arrow_refs()
     if not refs:
         return rd.from_arrow(fn(None))

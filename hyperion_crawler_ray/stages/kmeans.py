@@ -38,16 +38,7 @@ import ray.data as rd
 from ..functions.vectors import vec_matrix
 
 
-def _coalesce_tiny(mat: rd.MaterializedDataset) -> rd.Dataset:
-    """Tiny-block coalesce: a small input can arrive as dozens of
-    ~30-row blocks (read parallelism targets cores, not rows) and every
-    downstream execution would schedule that many no-op tasks. At scale
-    blocks are large and this is a no-op."""
-    nb, n = mat.num_blocks(), mat.count()
-    tgt = max(1, min(nb, n // 4096 + 1))
-    if nb > 2 * tgt:
-        return mat.repartition(tgt).materialize()
-    return mat
+from .exchange import coalesce_tiny as _coalesce_tiny
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

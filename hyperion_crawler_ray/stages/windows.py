@@ -11,6 +11,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 
+
 def tumbling_window(ds: rd.Dataset, ts_col: str, key: str, value: str,
                     freq: str = "D") -> rd.Dataset:
     """Tumbling count/sum per (key, window). Window start emitted as a
@@ -123,6 +124,11 @@ def key_window_funcs(ds: rd.Dataset, key: str, order_by: list[str],
             .astype(np.int64),
         })
 
+    # NOTE: stays on the lazy groupby path (not the eager exchange_map):
+    # window queries union several legs over one read, and a lazy plan
+    # lets Ray stream all legs in one execution; exchange_map's
+    # materialize barrier would serialize them. The sort-shuffle cost is
+    # acceptable because this runs once, not per crawl round.
     return (
         ds.map_batches(bucketize, batch_format="pandas")
         .groupby("__wb")
@@ -158,7 +164,12 @@ def session_windows(ds: rd.Dataset, ts_col: str, key: str,
     def sessionize_bucket(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         if n == 0:
-            return pd.DataFrame({c: [] for c in cols})
+            out = {key: df[key].to_numpy()[:0],
+                   "session_start_us": np.array([], np.int64),
+                   "n_events": np.array([], np.int64)}
+            if value is not None:
+                out["sum_value"] = df[value].to_numpy()[:0]
+            return pd.DataFrame(out)[cols]
         df = df.sort_values([key, ts_col], kind="mergesort")
         k = df[key].to_numpy()
         ts = df[ts_col].to_numpy()
@@ -178,6 +189,7 @@ def session_windows(ds: rd.Dataset, ts_col: str, key: str,
                 df[value].to_numpy(), starts)
         return pd.DataFrame(out)[cols]
 
+    # lazy groupby on purpose — see key_window_funcs note
     return (
         ds.map_batches(bucketize, batch_format="pandas")
         .groupby("__wb")
