@@ -1171,7 +1171,7 @@ def q_ivf_topk(sf_dir):
                            + os.path.basename(os.path.normpath(sf_dir)))
     annm.ivf_build_index(ds, "embedding", cents, idx_dir)
     ivf = annm.ivf_topk_indexed(idx_dir, "embedding", "vec_id", q, k=10,
-                                centroids=cents, n_probe=3)
+                                centroids=cents, n_probe=4)
     exact = annm.cosine_topk(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
         "embedding", "vec_id", q, k=10)
