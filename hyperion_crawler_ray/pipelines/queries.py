@@ -1119,7 +1119,10 @@ def q_neardup_pairs(sf_dir):
             "score": t.column("jaccard").cast(pa.float64()),
         })
 
-    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # ONE materialized (id, vec) projection feeds the LSH family's
+    # bucket-count + bucketize AND the SemDeDup fit/assign below —
+    # otherwise the lazy read executes three times (count, LSH, k-means)
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     ed = dd.embedding_near_dup(emb, "embedding", "vec_id", threshold=0.95)
 
     def ed_rows(t: pa.Table) -> pa.Table:
@@ -1132,9 +1135,8 @@ def q_neardup_pairs(sf_dir):
 
     from ..stages.kmeans import semantic_near_dup
 
-    sem = semantic_near_dup(
-        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        "embedding", "vec_id", threshold=0.95, n_clusters=8, iters=2)
+    sem = semantic_near_dup(emb, "embedding", "vec_id",
+                            threshold=0.95, n_clusters=8, iters=2)
 
     def sem_rows(t: pa.Table) -> pa.Table:
         return pa.table({
