@@ -1103,13 +1103,20 @@ def q_neardup_pairs(sf_dir):
     tests/test_stages.py). Round 3 adds the SemDeDup family
     (stages/kmeans.py): distributed-Lloyd k-means clusters the embedding
     space, pairs are compared only within a cluster (planted-pair +
-    mega-cluster-cap pytest in tests/test_kmeans.py)."""
+    mega-cluster-cap pytest in tests/test_kmeans.py) — and the
+    'component' family: connected components over the verified minhash
+    pair graph (stages/components.py, union-find-oracle pytest in
+    tests/test_components.py), the transitive closure actual dedup
+    needs."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     sigs = dd.minhash_signatures(ds, "text", "doc_id", num_perm=64)
     pairs = dd.lsh_candidate_pairs(sigs, "doc_id", bands=16)
     docs = _t(sf_dir, "documents", ["doc_id", "text"], blocks=8)
+    # materialized: consumed twice below (pair rows + the component
+    # closure) — without this the whole minhash+LSH+verify chain
+    # executes twice
     mh = dd.jaccard_verify(pairs, docs, "doc_id", "text", threshold=0.5,
-                           num_partitions=8)
+                           num_partitions=8).materialize()
 
     def mh_rows(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1146,9 +1153,27 @@ def q_neardup_pairs(sf_dir):
             "score": t.column("cos").cast(pa.float64()),
         })
 
+    # round 3: the transitive closure the pair producers feed — connected
+    # components over the verified minhash pair graph (min-label
+    # propagation, stages/components.py); one row per CLUSTERED doc,
+    # id_b = its canonical (min-id) representative. Self-validating
+    # shape: component <= node for every row by construction.
+    from ..stages.components import connected_components
+
+    comp = connected_components(mh, id_a="id_a", id_b="id_b")
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "family": pa.array(["component"] * t.num_rows, pa.string()),
+            "id_a": t.column("node").cast(pa.int64()),
+            "id_b": t.column("component").cast(pa.int64()),
+            "score": pa.array([1.0] * t.num_rows, pa.float64()),
+        })
+
     return mh.map_batches(mh_rows, batch_format="pyarrow").union(
         ed.map_batches(ed_rows, batch_format="pyarrow"),
-        sem.map_batches(sem_rows, batch_format="pyarrow"))
+        sem.map_batches(sem_rows, batch_format="pyarrow"),
+        comp.map_batches(comp_rows, batch_format="pyarrow"))
 
 
 def q_ivf_topk(sf_dir):

@@ -50,7 +50,16 @@ def test_rows_only_queries_run(name):
         # clear its family's threshold
         sem = got[got["family"] == "semantic"]
         assert (sem["score"] >= 0.95).all()
-        assert set(got["family"]) <= {"minhash", "embedding", "semantic"}
+        assert set(got["family"]) <= {"minhash", "embedding", "semantic",
+                                      "component"}
+        # the component closure is self-validating: the canonical
+        # representative is the MIN id of its cluster
+        comp = got[got["family"] == "component"]
+        assert (comp["id_b"] <= comp["id_a"]).all()
+        # every clustered node comes from some emitted minhash pair
+        mh = got[got["family"] == "minhash"]
+        if len(comp):
+            assert set(comp["id_a"]) <= (set(mh["id_a"]) | set(mh["id_b"]))
     if name == "ivf_topk":
         assert got["inertia_monotone"].all()  # Lloyd convergence held
     if name == "crawl_page_functions":
