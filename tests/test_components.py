@@ -18,6 +18,8 @@ def _pairs(edges):
 
 def _cc(edges, **kw):
     out = connected_components(_pairs(edges), **kw).to_pandas()
+    if out.empty:     # empty from_arrow datasets drop columns in pandas
+        return {}
     return dict(zip(out["node"], out["component"]))
 
 
@@ -91,6 +93,20 @@ def test_fuzzy_dedup_keeps_one_per_cluster(ray_session):
     kept = fuzzy_dedup_docs(docs, pairs).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 1, 4, 5, 6, 7, 9]
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                    max_size=60))
+    @settings(max_examples=25, deadline=None)
+    def test_hypothesis_matches_union_find(ray_session, edges):
+        # driver fast path (pure union-find) — cheap enough to hammer
+        assert _cc(edges) == _oracle(edges)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def test_empty_pairs(ray_session):
