@@ -1461,10 +1461,15 @@ def q_text_scores(sf_dir):
                                    decontaminate)
 
     import pyarrow.parquet as _pq
+
+    # predicate-pushdown read of JUST the 5 benchmark docs (doc_ids are
+    # dense from 0) — reading the whole text column to the driver and
+    # slicing [:5] would be a full-column driver pull at 100 TB
     bench_texts = _pq.read_table(
         os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"]).sort_by("doc_id") \
-        .column("text").to_pylist()[:5]
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 5)]).sort_by("doc_id") \
+        .column("text").to_pylist()
     ds = GopherRules.stage(ds, concurrency=2)
     ds = decontaminate(ds, "text", "doc_id",
                        benchmark_ngram_hashes(bench_texts), append=True)
