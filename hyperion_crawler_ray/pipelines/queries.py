@@ -1443,8 +1443,9 @@ def q_text_scores(sf_dir):
     """Per-doc analysis bundle (merged rounds 2/2b, rows-only): BPE-ish
     token estimate (GPT-2-style pre-tokenizer regex — has a lookahead,
     so not RE2/DuckDB-expressible), language-ID heuristic (actor pool),
-    Karp-Rabin rolling fingerprint and 64-bit SimHash, one row per
-    document (hamming-distance near-dup property asserted in
+    Karp-Rabin rolling fingerprint, 64-bit SimHash, and (round 3)
+    cross-document repeated-13-gram stats, one row per document
+    (hamming-distance near-dup property asserted in
     tests/test_stages.py)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     ds = tx.bpe_ish_token_count(ds, "text")
@@ -1473,11 +1474,37 @@ def q_text_scores(sf_dir):
     ds = GopherRules.stage(ds, concurrency=2)
     ds = decontaminate(ds, "text", "doc_id",
                        benchmark_ngram_hashes(bench_texts), append=True)
+    # round 3: cross-document repeated-13-gram stats
+    # (stages/substring.py, Lee-et-al-style exact-substring signal —
+    # one explode shuffle, zero joins internally; brute-force-oracle
+    # pytest in tests/test_substring.py). Self-validating here:
+    # n_shared_ngrams <= n_grams and frac in [0, 1] per row.
+    from ..stages.substring import cross_doc_ngram_stats
+
+    xdoc = cross_doc_ngram_stats(
+        _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        n=13, n_buckets=16)
+    left_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("lang_pred", pa.string()), ("n_bpe_tokens", pa.int64()),
+        ("rhash", pa.uint64()), ("simhash", pa.uint64()),
+        ("dup_line_frac", pa.float64()), ("top2gram_frac", pa.float64()),
+        ("symbol_word_ratio", pa.float64()), ("gopher_pass", pa.bool_()),
+        ("n_overlap", pa.int64()), ("contaminated", pa.bool_())])
+    right_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+        ("n_shared_ngrams", pa.int64()), ("dup_ngram_frac", pa.float64())])
+    # explicit schemas: hash_join would otherwise probe schema() on the
+    # lazy actor-pool chain, spinning the LangId/Gopher actors up twice
+    ds = jn.hash_join(ds.select_columns(list(left_schema.names)), xdoc,
+                      on="doc_id", num_partitions=8,
+                      left_schema=left_schema, right_schema=right_schema)
     return ds.select_columns(["doc_id", "lang", "lang_pred",
                               "n_bpe_tokens", "rhash", "simhash",
                               "dup_line_frac", "top2gram_frac",
                               "symbol_word_ratio", "gopher_pass",
-                              "n_overlap", "contaminated"]) \
+                              "n_overlap", "contaminated",
+                              "n_shared_ngrams", "dup_ngram_frac"]) \
              .map_batches(lambda t: t, batch_format="pyarrow")
 
 

@@ -38,6 +38,9 @@ def test_rows_only_queries_run(name):
     assert len(got) >= 0
     if name == "text_scores":
         assert len(got) == 500  # one row per document
+        # cross-doc n-gram stats are self-validating per row
+        assert (got["n_shared_ngrams"] >= 0).all()
+        assert got["dup_ngram_frac"].between(0, 1).all()
     if name == "multimodal_pipeline":
         assert set(got.columns) == {"media_id", "artifact", "meta_a",
                                     "meta_b", "blob"}
