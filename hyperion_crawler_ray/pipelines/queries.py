@@ -462,7 +462,12 @@ def q_hash_join(sf_dir):
             blocks=8).map_batches(
         lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
         batch_format="pandas")
-    joined = jn.hash_join(li, od, on="l_orderkey", num_partitions=16)
+    joined = jn.hash_join(
+        li, od, on="l_orderkey", num_partitions=16,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_quantity", pa.float64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderstatus", pa.string())]))
     out = agg.preagg_sum(joined, ["o_orderstatus"],
                          {"sum_qty": "l_quantity"}, count_as="n")
     return _round_col(out, {"sum_qty": 2})
@@ -942,7 +947,13 @@ def q_ngram_jaccard(sf_dir):
         lambda df: pd.DataFrame({"join_id": df["doc_id"],
                                  "text_b": df["text"]}),
         batch_format="pandas")
-    joined = jn.hash_join(left, right, on="join_id", num_partitions=8)
+    joined = jn.hash_join(
+        left, right, on="join_id", num_partitions=8,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("text", pa.string()),
+                               ("join_id", pa.int64())]),
+        right_schema=pa.schema([("join_id", pa.int64()),
+                                ("text_b", pa.string())]))
 
     def jac(t: pa.Table) -> pa.Table:
         sims = np.empty(t.num_rows, np.float64)
