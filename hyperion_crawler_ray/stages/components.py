@@ -179,5 +179,9 @@ def fuzzy_dedup_docs(docs: rd.Dataset, pairs: rd.Dataset,
         return pa.table({id_col: t.filter(keep).column("node")})
 
     dup_ids = comp.map_batches(losers, batch_format="pyarrow")
+    # explicit right schema: a schema() probe on the lazy loser chain
+    # returns None when the component set is empty
     return jn.semi_join_large(docs, dup_ids, on=id_col, how="anti",
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              right_schema=pa.schema([(id_col,
+                                                       pa.int64())]))

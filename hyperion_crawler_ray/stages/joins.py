@@ -349,7 +349,21 @@ def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         # Arrow join rejects for non-key fields
         lt_ = t.filter(pc.equal(side, 0)).select(l_cols).cast(l_target)
         rt_ = t.filter(pc.equal(side, 1)).select(r_select).cast(r_target)
-        out = lt_.join(rt_, keys=on, join_type=join_type)
+        if join_type in ("left semi", "left anti") and len(on) == 1:
+            # membership mask instead of the acero join: semi/anti only
+            # needs the key SET, and acero rejects list/binary non-key
+            # payload fields ("not supported in join non-key field") —
+            # this path carries any left payload. SQL null semantics
+            # preserved: null keys never match (semi drops, anti keeps).
+            vals = rt_.column(on[0]).combine_chunks().drop_null()
+            m = pc.is_in(lt_.column(on[0]), value_set=vals)
+            if join_type == "left anti":
+                m = pc.fill_null(pc.invert(m), True)
+            else:
+                m = pc.fill_null(m, False)
+            out = lt_.filter(m)
+        else:
+            out = lt_.join(rt_, keys=on, join_type=join_type)
         # pin column order to the declared result schema (outer joins
         # can emit a different order than the empty-block schema)
         return out.select(result_schema.names).cast(result_schema)
