@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> int:
@@ -46,7 +50,12 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(include_dashboard=False)
+        # workers must import the package even when the driver runs
+        # outside the repo dir (ray job submit --working-dir covers the
+        # cluster case; this covers standalone local runs)
+        ray.init(include_dashboard=False, runtime_env={
+            "env_vars": {"PYTHONPATH": _REPO + os.pathsep
+                         + os.environ.get("PYTHONPATH", "")}})
 
     import pyarrow.parquet as pq
 
