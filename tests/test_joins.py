@@ -78,6 +78,26 @@ def test_semi_join_large_composite_key_semi_and_anti():
     assert set(semi.columns) == {"a", "b", "v"}  # right cols never leak
 
 
+def test_semi_join_large_single_key_nulls_and_list_payload():
+    """Single-key semi/anti takes the pc.is_in path: SQL null semantics
+    (null keys never match — semi drops them, anti keeps them) and
+    list-typed payload columns, which the acero join rejects outright."""
+    left = pa.table({
+        "k": pa.array([1, 2, 3, None, 5], pa.int64()),
+        "sig": pa.array([[1, 2], [3], [], [4, 5], [6]],
+                        pa.list_(pa.uint64())),
+    })
+    right = pa.table({"k": pa.array([2, None, 5], pa.int64())})
+    semi = semi_join_large(rd.from_arrow(left), rd.from_arrow(right),
+                           on="k", how="semi").to_pandas()
+    anti = semi_join_large(rd.from_arrow(left), rd.from_arrow(right),
+                           on="k", how="anti").to_pandas()
+    assert sorted(semi["k"]) == [2, 5]
+    assert [list(s) for s in semi.sort_values("k")["sig"]] == [[3], [6]]
+    assert sorted(anti["k"].fillna(-1)) == [-1, 1, 3]  # null key kept
+    assert len(semi) + len(anti) == len(left)
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     lkeys=st.lists(st.integers(0, 30), min_size=0, max_size=60),
