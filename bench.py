@@ -196,6 +196,12 @@ def main():
         # pair under the same protocol (used for the BASELINE.md 4/16
         # disclosure)
         args = [a for a in sys.argv[1:] if a != "--scaling"]
+        if any(not a.isdigit() for a in args):
+            sys.exit("usage: bench.py [--scaling [LO HI]] — LO/HI must "
+                     f"be integers, got {args!r}")
+        if len(args) == 1:
+            sys.exit("usage: bench.py --scaling [LO HI] — give BOTH "
+                     "cpu counts or neither")
         if len(args) >= 2:
             lo, hi = int(args[0]), int(args[1])
         # the scaling pair runs a 2x universe: per-round fixed latency

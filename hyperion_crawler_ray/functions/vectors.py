@@ -19,7 +19,13 @@ def vec_matrix(col: pa.Array | pa.ChunkedArray,
                dtype=np.float64) -> np.ndarray:
     """(n, d) matrix from an embedding column without Python-object
     materialization. Zero-copy from the Arrow value buffer up to the
-    final dtype cast (free when the buffer is already ``dtype``)."""
+    final dtype cast (free when the buffer is already ``dtype``).
+
+    Empty-block contract: ``fixed_size_list`` keeps its dimension —
+    shape ``(0, list_size)`` — but a plain (variable-length) list column
+    with zero rows carries no width information in Arrow, so the result
+    is ``(0, 0)``. Callers that matmul against a ``(d, k)`` matrix must
+    guard ``num_rows == 0`` before calling (all in-repo callers do)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)

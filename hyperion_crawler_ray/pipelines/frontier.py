@@ -201,6 +201,12 @@ def _shard_split_task(tbl: pa.Table, n_shards: int):
     ``num_returns=n_shards`` objects so each reducer fetches ONLY its
     shard's bytes."""
     sh = tbl.column("shard").to_numpy(zero_copy_only=False)
+    if len(sh) and (sh.min() < 0 or sh.max() >= n_shards):
+        # out-of-range shard ids would silently vanish in the
+        # searchsorted bounds — fail loud instead of dropping rows
+        raise ValueError(
+            f"shard column out of range: [{sh.min()}, {sh.max()}] "
+            f"not within [0, {n_shards})")
     order = np.argsort(sh, kind="stable")
     t2 = tbl.take(pa.array(order))
     bounds = np.searchsorted(sh[order], np.arange(n_shards + 1))

@@ -165,14 +165,17 @@ def connected_components(pairs: rd.Dataset, id_a: str = "id_a",
 def fuzzy_dedup_docs(docs: rd.Dataset, pairs: rd.Dataset,
                      id_col: str = "doc_id",
                      num_partitions: int = 16,
-                     max_iters: int = 30) -> rd.Dataset:
+                     max_iters: int = 30,
+                     components: rd.Dataset | None = None) -> rd.Dataset:
     """Drop every document that near-duplicates a lower-id document:
     connected components over ``pairs``, then a distributed ANTI join of
     ``docs`` against the non-representative members (node != component).
     Nothing is collected to the driver — the loser set can be
-    O(corpus)."""
-    comp = connected_components(pairs, max_iters=max_iters,
-                                num_partitions=num_partitions)
+    O(corpus). Pass ``components`` (a (node, component) dataset) when
+    the caller already ran the closure, to avoid recomputing it."""
+    comp = components if components is not None else \
+        connected_components(pairs, max_iters=max_iters,
+                             num_partitions=num_partitions)
 
     def losers(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t.column("node"), t.column("component"))

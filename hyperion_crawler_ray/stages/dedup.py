@@ -134,9 +134,13 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
     emits all c(c-1)/2 pairs only while c <= ``cluster_cap``; beyond
     that it emits STAR pairs (every member against the group's min id,
     c-1 pairs). A 10^6-copy boilerplate cluster would otherwise emit
-    ~5*10^11 pairs from one group; the star keeps the cluster connected
-    (any member verifies against the representative, which is what
-    dedup's connected-component resolution needs) at O(c) output."""
+    ~5*10^11 pairs from one group; the star keeps the cluster's
+    CANDIDATE graph connected at O(c) output. Recall approximation:
+    downstream Jaccard verification judges each (min-id, member) star
+    edge on its own, so a member that is chain-connected through other
+    members but below threshold against the representative itself drops
+    out — the cap trades that tail of the cluster for the O(c) bound
+    (exact all-pairs behavior holds for groups <= cluster_cap)."""
 
     def to_bands(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)

@@ -38,6 +38,12 @@ def _split_task(tbl: pa.Table, col: str, n: int):
     """Partition one block by its integer ``col`` (values in [0, n))
     into ``n`` zero-copy slices via stable argsort + searchsorted."""
     v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(v) and (v.min() < 0 or v.max() >= n):
+        # out-of-range ids would silently vanish in the searchsorted
+        # bounds below — fail loud instead of dropping rows
+        raise ValueError(
+            f"exchange partition column {col!r} out of range: "
+            f"[{v.min()}, {v.max()}] not within [0, {n})")
     order = np.argsort(v, kind="stable")
     t2 = tbl.take(pa.array(order))
     bounds = np.searchsorted(v[order], np.arange(n + 1))

@@ -47,20 +47,64 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+_HASH_P = np.uint64(1099511628211)              # FNV-64 prime
+
+
+def _content_rank(x: np.ndarray) -> np.ndarray:
+    """uint64 rank per row: wrapped polynomial mix over the row's
+    float64 bit patterns — a pure function of row CONTENT, identical at
+    any block layout / storage order / parallelism."""
+    u = np.ascontiguousarray(x).view(np.uint64)
+    with np.errstate(over="ignore"):
+        pw = np.empty(u.shape[1], np.uint64)
+        pw[0] = _HASH_P
+        for i in range(1, len(pw)):
+            pw[i] = pw[i - 1] * _HASH_P
+        return (u * pw[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def _init_centroids(ds: rd.Dataset, vec_col: str, k: int, seed: int,
                     sample: int = 4096) -> np.ndarray:
     """Deterministic seed centroids from a bounded sample (the
     refinement is distributed, only the init is sampled). Farthest-first
     traversal (Gonzalez 1985 k-center 2-approx) over the sample,
-    canonicalized by lexicographic row order first — so the init is
-    independent of block layout AND of the order blocks arrive in, and
-    well-separated clusters always get one seed each (no flaky
-    random-choice collisions). The sample is the dataset PREFIX — at
-    100 TB a storage-ordered prefix can be biased; callers who care
-    raise ``sample`` or pre-shuffle once, and the full-data Lloyd
-    refinement corrects moderate init bias anyway."""
-    samp = ds.limit(sample).to_pandas()
-    x = np.asarray(samp[vec_col].tolist(), dtype=np.float64)
+    canonicalized by lexicographic row order first — so well-separated
+    clusters always get one seed each (no flaky random-choice
+    collisions).
+
+    The sample pool is the ``sample`` rows with the SMALLEST content
+    hash (Knuth-style multiplicative rank over the vector's bits, the
+    same rank-hash idea as stages/sampling.py): a per-batch combiner
+    keeps at most ``sample`` rows, the driver keeps the global best —
+    a uniform-by-hash sample that is a pure function of the data, NOT
+    the storage-ordered prefix round 3 used (at 100 TB a prefix is one
+    shard of one day's crawl — biased). Driver traffic is bounded at
+    blocks x sample rows of (rank, vec)."""
+
+    def pool(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__rk": pa.array([], pa.uint64()),
+                             "__v": pa.array([], pa.list_(pa.float64()))})
+        xb = vec_matrix(t.column(vec_col))
+        rk = _content_rank(xb)
+        order = np.argsort(rk, kind="stable")
+        if len(order) > sample:
+            # include ties at the cut so the batch-level pool is also
+            # content-determined (64-bit ties are rare but free to keep)
+            cut = rk[order[sample - 1]]
+            n_keep = int(np.searchsorted(rk[order], cut, side="right"))
+            order = order[:n_keep]
+        return pa.table({"__rk": pa.array(rk[order]),
+                         "__v": pa.array(list(xb[order]),
+                                         pa.list_(pa.float64()))})
+
+    cand = ds.map_batches(pool, batch_format="pyarrow").to_pandas()
+    x = np.asarray(cand["__v"].tolist(), dtype=np.float64)
+    if len(x) == 0:
+        return np.empty((0, 0), np.float64)
+    rk = cand["__rk"].to_numpy().astype(np.uint64)
+    order = np.lexsort((*x.T[::-1], rk))        # rank primary, lex ties
+    x = x[order][:sample]
     x = x[np.lexsort(x.T[::-1])]                # canonical row order
     k = min(k, len(x))
     chosen = [0]                                # lex-smallest row starts
@@ -168,8 +212,9 @@ def semantic_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
     pairs with cosine >= threshold WITHIN each cluster. The cluster id
     is the shuffle key; per-cluster work is one vectorized gram matrix.
     Clusters larger than ``max_cluster_rows`` are star-paired against
-    the row closest to the centroid (the SemDeDup representative) instead
-    of all-pairs — the same mega-cluster cap the LSH path uses."""
+    the cluster's MIN-ID row (consistent with the LSH star cap) instead
+    of all-pairs — a recall approximation: members connect to the
+    representative only if their cosine to IT clears the threshold."""
     # ONE materialized, coalesced (id, vec) projection feeds both the
     # fit's iterations and the assignment — no second source read
     proj = _coalesce_tiny(

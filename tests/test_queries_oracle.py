@@ -54,7 +54,7 @@ def test_rows_only_queries_run(name):
         sem = got[got["family"] == "semantic"]
         assert (sem["score"] >= 0.95).all()
         assert set(got["family"]) <= {"minhash", "embedding", "semantic",
-                                      "component"}
+                                      "component", "kept"}
         # the component closure is self-validating: the canonical
         # representative is the MIN id of its cluster
         comp = got[got["family"] == "component"]
@@ -63,6 +63,16 @@ def test_rows_only_queries_run(name):
         mh = got[got["family"] == "minhash"]
         if len(comp):
             assert set(comp["id_a"]) <= (set(mh["id_a"]) | set(mh["id_b"]))
+        # round 4: the fuzzy-dedup end result — keep-earliest drops
+        # exactly the non-representative component members, so
+        # kept == n_docs − #(node != component), and no kept doc is a
+        # dropped member
+        kept = got[got["family"] == "kept"]
+        losers = set(comp.loc[comp["id_a"] != comp["id_b"], "id_a"])
+        n_docs = 500 if "0.001" in SF_DIR else None
+        if n_docs is not None:
+            assert len(kept) == n_docs - len(losers)
+        assert not (set(kept["id_a"]) & losers)
     if name == "ivf_topk":
         assert got["inertia_monotone"].all()  # Lloyd convergence held
     if name == "crawl_page_functions":
