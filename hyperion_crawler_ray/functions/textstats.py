@@ -47,8 +47,7 @@ def simhash64(tokens: list[str]) -> int:
     of truth with the crawl scoring stage."""
     if not tokens:
         return 0
-    import pandas as pd
-    hs = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    hs = H.hash_tokens(pa.array(tokens, pa.string()))
     offs = np.array([0, len(hs)], dtype=np.int64)
     return int(H.simhash_from_tokens(hs, offs)[0])
 
@@ -56,9 +55,8 @@ def simhash64(tokens: list[str]) -> int:
 def minhash_sig(tokens: list[str], k: int = 3) -> np.ndarray:
     """32-perm MinHash over word k-shingles (near-dup signature stored
     per crawled page so downstream dedup needs no second text pass)."""
-    import pandas as pd
     if tokens:
-        hs = pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+        hs = H.hash_tokens(pa.array(tokens, pa.string()))
     else:
         hs = np.empty(0, np.uint64)
     offs = np.array([0, len(hs)], dtype=np.int64)
@@ -107,37 +105,48 @@ def langid_batch(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
     offs = offs - offs[0]
     byte_lens = offs[1:] - offs[:-1]
-    doc_ids = np.repeat(np.arange(n, dtype=np.int64), byte_lens)
-    code = data.astype(np.int64) - 96          # 'a' -> 1 .. 'z' -> 26
-    valid = (code >= 1) & (code <= 26)
-    ids = doc_ids * 27 + np.where(valid, code, 0)
+    doc_ids = np.repeat(np.arange(n, dtype=np.int32), byte_lens)
+    code = data.astype(np.int32)               # int32: the id build is
+    valid = (code >= 97) & (code <= 122)       # bandwidth-bound (round 4)
+    ids = doc_ids * 27 + np.where(valid, code - 96, 0)
     counts = np.bincount(ids, minlength=n * 27).reshape(n, 27)[:, 1:]
 
-    for d in range(n):
-        c = counts[d]
-        nz = np.nonzero(c)[0]
-        if nz.size == 0:
-            out[d] = "und"
-            continue
-        top = nz[np.lexsort((nz, -c[nz]))][:12]
-        best_lang, best = "und", -1.0
-        for lang, prof in _PROFILES.items():
-            score = 0
-            for i, li in enumerate(top):
-                ch = chr(97 + int(li))
-                if ch in prof:
-                    score += 12 - abs(i - prof[ch])
-            if score > best:
-                best, best_lang = score, lang
-        out[d] = best_lang
+    # vectorized ranking (round 4 — the per-doc Python loop was 40% of
+    # the whole scoring bundle): stable argsort on -counts sorts by
+    # count desc then letter asc (letters start in ascending order), so
+    # ranks[:, :12] IS the scalar path's top-12; zero-count slots are
+    # masked. Per-language scores are one (n, 12) gather + sum; argmax
+    # over the language axis keeps the scalar first-wins tie rule
+    # because languages stack in _PROFILES order.
+    ranks = np.argsort(-counts, axis=1, kind="stable")[:, :12]  # (n, 12)
+    top_counts = np.take_along_axis(counts, ranks, axis=1)
+    present = top_counts > 0                                     # (n, 12)
+    pos = np.arange(12, dtype=np.int64)[None, :]
+    langs = list(_PROFILES)
+    prof_pos = np.full((len(langs), 26), -1, np.int64)
+    for li, lang in enumerate(langs):
+        for ch, p in _PROFILES[lang].items():
+            prof_pos[li, ord(ch) - 97] = p
+    scores = np.empty((len(langs), n), np.int64)
+    for li in range(len(langs)):
+        pp = prof_pos[li][ranks]                                 # (n, 12)
+        contrib = (12 - np.abs(pos - pp)) * ((pp >= 0) & present)
+        scores[li] = contrib.sum(axis=1)
+    best = np.argmax(scores, axis=0)            # first max wins, as scalar
+    lang_arr = np.array(langs, object)
+    out[:] = lang_arr[best]
+    out[~present[:, 0]] = "und"                 # no letters at all
     return out
 
 
 def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
     """Full per-page scoring bundle (the crawl's enrichment stage):
     n_tokens, n_bpe_tokens, stopword_ratio, mean_word_len, simhash,
-    minhash signature, lang_pred. One tokenize + hash pass per batch;
-    only the BPE regex and the langid letter-count remain per-doc."""
+    minhash signature (an (n, num_perm) uint64 matrix), lang_pred. One
+    tokenize + hash pass per batch; minhash is the flat cache-blocked
+    kernel and simhash the lane-packed 8-pass kernel (round-4 bandwidth
+    diet — this bundle is what saturates a socket at high cpu counts);
+    only the BPE regex remains per-doc (inherent lookahead)."""
     n = len(texts)
     col = pa.array(texts, pa.string())
     tok_hashes, offs, toks = H.tokenize_batch(col, return_tokens=True)
@@ -159,9 +168,9 @@ def score_texts(texts: list[str]) -> dict[str, np.ndarray]:
             np.add.reduceat(tlens, starts) / counts[nonempty], 6)
 
     sims = H.simhash_from_tokens(tok_hashes, offs)
-    minhashes = np.empty(n, object)
-    for i, sig in enumerate(H.minhash_batch(tok_hashes, offs, _MH_A, _MH_B)):
-        minhashes[i] = sig.tolist()
+    # (n, num_perm) uint64 matrix — stays flat end-to-end; the Arrow
+    # list column is built from the flat buffer (frontier.extract_batch)
+    minhashes = H.minhash_batch(tok_hashes, offs, _MH_A, _MH_B)
 
     n_bpe = np.fromiter((len(_BPE_RE.findall(s)) for s in texts),
                         dtype=np.int64, count=n)

@@ -316,14 +316,17 @@ def extract_batch(batch: pa.Table, score: bool = False) -> pa.Table:
         from ..functions.textstats import score_texts
 
         scores = score_texts(texts)
+        mh = scores["minhash"]                    # (n, num_perm) uint64
+        mh_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(mh) + 1, dtype=np.int32) * mh.shape[1]),
+            pa.array(mh.reshape(-1)))             # flat buffer, no pylists
         out = (
             out.append_column("n_tokens", pa.array(scores["n_tokens"], pa.int64()))
             .append_column("n_bpe_tokens", pa.array(scores["n_bpe_tokens"], pa.int64()))
             .append_column("stopword_ratio", pa.array(scores["stopword_ratio"], pa.float64()))
             .append_column("mean_word_len", pa.array(scores["mean_word_len"], pa.float64()))
             .append_column("simhash", pa.array(scores["simhash"], pa.uint64()))
-            .append_column("minhash", pa.array(list(scores["minhash"]),
-                                               pa.list_(pa.uint64())))
+            .append_column("minhash", mh_col)
             .append_column("lang_pred", pa.array(list(scores["lang_pred"]), pa.string()))
         )
     return out

@@ -106,8 +106,11 @@ def add_text_hash(ds: rd.Dataset, col: str, out: str = "text_hash") -> rd.Datase
 def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
                        num_perm: int = 64, shingle_k: int = 3) -> rd.Dataset:
     """Per-doc MinHash signature: one vectorized tokenize+hash pass per
-    batch (functions/hashing.py), then a (num_perm, n_shingles) modmul
-    per doc."""
+    batch (functions/hashing.py), then ONE flat cache-blocked
+    (num_perm x chunk) modmul over the whole batch's shingles (round 4 —
+    the per-doc modmul loop paid ~10k kernel launches per 10k-doc
+    batch). The Arrow list column is built from the flat signature
+    buffer, no per-doc Python lists."""
     a, b = H.minhash_params(num_perm)
 
     def f(t: pa.Table) -> pa.Table:
@@ -115,8 +118,10 @@ def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
         sigs = H.minhash_batch(tok_hashes, offs, a, b, k=shingle_k)
         return pa.table({
             id_col: t.column(id_col),
-            "sig": pa.array([s.tolist() for s in sigs],
-                            pa.list_(pa.uint64())),
+            "sig": pa.ListArray.from_arrays(
+                pa.array(np.arange(len(sigs) + 1, dtype=np.int32)
+                         * num_perm),
+                pa.array(sigs.reshape(-1))),
         })
 
     return ds.map_batches(f, batch_format="pyarrow")

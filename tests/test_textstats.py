@@ -69,3 +69,89 @@ def test_langid_batch_equals_scalar():
     got = list(langid_batch(pa.array(texts, pa.string())))
     want = [langid(s) for s in texts]
     assert got == want
+
+
+def test_hash_tokens_properties():
+    """Bytes-level token hash (round 4): deterministic, content-pure
+    (position/layout independent), distinct across distinct tokens,
+    consistent across slices / large_string / filtered views."""
+    import pyarrow as pa
+
+    from hyperion_crawler_ray.functions.hashing import hash_tokens
+
+    toks = ["a", "ab", "abc", "word1", "word2", "x" * 31, "x" * 32,
+            "x" * 33, "y" * 500, "", "a", "aa", "b"]
+    arr = pa.array(toks, pa.string())
+    h = hash_tokens(arr)
+    assert (h == hash_tokens(arr)).all()
+    assert h[0] == h[10]                          # same content, same hash
+    assert len(set(h.tolist()[:10])) == 10        # distinct contents
+    assert (hash_tokens(arr.slice(3, 6)) == h[3:9]).all()
+    assert (hash_tokens(pa.array(toks, pa.large_string())) == h).all()
+    f = arr.filter(pa.array([True, False] * 6 + [True]))
+    assert (hash_tokens(f) == h[::2]).all()
+    # position independence: token value alone determines the hash
+    ht = hash_tokens(pa.array(["zzz", "word7", "word7"], pa.string()))
+    assert ht[1] == ht[2] == hash_tokens(pa.array(["word7"]))[0]
+    # low-byte diffusion (simhash majority-votes on raw bits)
+    lows = {int(x) & 0xFF
+            for x in hash_tokens(pa.array([f"word{i}" for i in range(100)]))}
+    assert len(lows) > 50
+
+
+def test_simhash_lane_packed_equals_per_bit():
+    """The round-4 lane-packed simhash must equal the per-bit reference
+    (including >255-token docs that exercise the segment split)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hyperion_crawler_ray.functions import hashing as H
+
+    rng = np.random.RandomState(0)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = ["", "one", "two words",
+            " ".join(rng.choice(vocab[:20], 700)),   # > 255 tokens, dups
+            " ".join(rng.choice(vocab, 3000))]
+    docs += [" ".join(rng.choice(vocab, rng.randint(0, 400)))
+             for _ in range(100)]
+    th, offs = H.tokenize_batch(pa.array(docs, pa.string()))
+
+    def per_bit(tok_hashes, doc_offsets):
+        n_docs = len(doc_offsets) - 1
+        out = np.zeros(n_docs, dtype=np.uint64)
+        nonempty = doc_offsets[:-1] < doc_offsets[1:]
+        starts = doc_offsets[:-1][nonempty]
+        counts = (doc_offsets[1:] - doc_offsets[:-1])[nonempty]
+        sig = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(64):
+            bj = ((tok_hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(bj, starts)
+            sig |= ((2 * sums > counts).astype(np.uint64) << np.uint64(j))
+        out[nonempty] = sig
+        return out
+
+    assert (H.simhash_from_tokens(th, offs) == per_bit(th, offs)).all()
+
+
+def test_minhash_flat_equals_per_doc():
+    """The round-4 flat cache-blocked minhash must equal the per-doc
+    unique-shingle path at every chunk size (incl. chunk boundaries
+    splitting a doc)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hyperion_crawler_ray.functions import hashing as H
+
+    rng = np.random.RandomState(1)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = ["", "one", "two words", "a b c d",
+            " ".join(rng.choice(vocab[:10], 500))]   # duplicate-heavy
+    docs += [" ".join(rng.choice(vocab, rng.randint(0, 120)))
+             for _ in range(80)]
+    th, offs = H.tokenize_batch(pa.array(docs, pa.string()))
+    a, b = H.minhash_params(32)
+    ref = np.stack([H.minhash_from_shingles(s, a, b)
+                    for s in H.shingle_hashes_from_tokens(th, offs, 3)])
+    for chunk in (7, 63, 1 << 10, 10 ** 9):
+        got = H.minhash_batch(th, offs, a, b, k=3, chunk=chunk)
+        assert got.shape == ref.shape and (got == ref).all(), chunk
