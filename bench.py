@@ -110,9 +110,13 @@ def run_bench() -> dict:
     # overhead than the extra waves bought (early small rounds touch
     # nearly every bucket dir). 16 keeps files chunky; the scaling pair
     # (2/8 cpus) is never parallelism-capped by it.
+    # GRAFT_NO_SCORE=1 disables the per-page scoring bundle — the
+    # bandwidth-attribution experiment in BASELINE.md (scoring is the
+    # memory-bandwidth-bound stage; the crawl control plane is not)
     cfg = CrawlConfig(max_rounds=7, max_per_host_per_round=4096,
                       politeness_window_ms=1 << 22, n_shards=16, n_buckets=16,
-                      score_pages=True, driver_small_round_rows=2048)
+                      score_pages=not os.environ.get("GRAFT_NO_SCORE"),
+                      driver_small_round_rows=2048)
 
     t0 = time.perf_counter()
     build_fetch_index(os.path.join(corpus, "pages"),

@@ -85,6 +85,18 @@ class CrawlConfig:
     # survivors. Same result as unsalted; bounds the rows any one
     # selection task holds for a hub host at 10^10-frontier scale.
     politeness_salt: int = 0
+    # Auto-salt (round 4): when any single host's PENDING rows exceed
+    # this threshold, the round's selection switches to the salted
+    # two-stage path automatically (with ``auto_salt_n`` salt groups) —
+    # a hub host with millions of pending urls would otherwise
+    # concentrate in one selection task. Detection is an approximate
+    # per-block partial count (hosts below a per-block floor never reach
+    # the driver) gated on total pending > threshold, so small rounds
+    # pay nothing; a false negative only delays the switch, never
+    # changes results (salted == unsalted selection, pytest-equal).
+    # 0 disables.
+    auto_salt_pending_rows: int = 100_000
+    auto_salt_n: int = 8
     # Application-level retry budget for the fetch/extract stage
     # (reference workflows/krx_etl_workflow.yaml:41-47: 3 attempts with
     # exponential backoff on transient errors). fetch_failure_rate > 0
@@ -105,7 +117,14 @@ def bucket_of_many(digests: list[bytes], n_buckets: int) -> np.ndarray:
     cuckoo fingerprint/bucket bytes and the seen-shard bytes)."""
     if not digests:
         return np.empty(0, np.int64)
-    raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
+    joined = b"".join(digests)
+    if len(joined) != 20 * len(digests):
+        # a non-SHA-1 digest would silently misalign the reshape and
+        # scramble every row after it — fail loud (ADVICE round 3)
+        raise ValueError(
+            f"bucket_of_many: digests must be 20-byte SHA-1; got total "
+            f"{len(joined)} bytes for {len(digests)} digests")
+    raw = np.frombuffer(joined, dtype=np.uint8).reshape(-1, 20)
     v = raw[:, 16].astype(np.int64) | (raw[:, 17].astype(np.int64) << 8)
     return v % n_buckets
 
@@ -1042,6 +1061,31 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
     return next_tbl if n_next else None
 
 
+def _detect_hub_hosts(pending: rd.Dataset, threshold: int,
+                      block_floor: int | None = None) -> list[str]:
+    """Hosts whose pending rows exceed ``threshold`` (the auto-salt
+    trigger). One column-pruned streaming pass: per-block partial host
+    counts, only hosts with >= ``block_floor`` rows in a block reach the
+    driver — traffic is bounded at rows/floor per block. Approximate by
+    design: a hub spread so thin that no block holds ``floor`` of its
+    rows is missed (bounded miss: floor x blocks rows), which only
+    delays the salt switch — selection results are salt-invariant."""
+    floor = block_floor or max(1, threshold // 256)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["host"].value_counts()
+        vc = vc[vc >= floor]
+        return pd.DataFrame({"host": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = pending.select_columns(["host"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return []
+    tot = parts.groupby("host")["n"].sum()
+    return sorted(tot.index[tot > threshold])
+
+
 def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
                cfg: CrawlConfig, robots_ref, shards: SeenShards):
     t0 = time.perf_counter()
@@ -1061,14 +1105,24 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
 
     stage_t: dict[str, float] = {}
     _t = time.perf_counter()
-    if cfg.politeness_salt > 1:
+    salt_n = cfg.politeness_salt
+    if salt_n <= 1 and cfg.auto_salt_pending_rows > 0 \
+            and pending.count() > cfg.auto_salt_pending_rows:
+        # auto-salt: engage the two-stage path only when some host's
+        # pending rows actually exceed the hub threshold (count() is
+        # metadata-only — pending is materialized by the round loop)
+        hubs = _detect_hub_hosts(pending, cfg.auto_salt_pending_rows)
+        if hubs:
+            salt_n = max(2, cfg.auto_salt_n)
+            # lineage marker row: stage=mode_salted_hosts, wall_ms=#hubs
+            stage_t["mode_salted_hosts"] = len(hubs) / 1000.0
+    if salt_n > 1:
         # Hub-host skew containment (north_rule "salted-key splitting"):
         # stage 1 takes the per-(host, salt) top-budget — a hub host's
         # pending rows split across `salt` groups so no single task
         # holds them all; stage 2 re-ranks the ≤ salt×budget survivors
         # per host. Equal to unsalted selection because any row in a
         # host's true top-b is also in its salt-group's top-b.
-        salt_n = cfg.politeness_salt
 
         def add_salt(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -1112,14 +1166,23 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
         # and ranking per host with a vectorized cumcount inside each
         # bucket is semantically identical (a host's rows always share a
         # bucket) at a fraction of the fixed cost. Hub-host skew inside
-        # a bucket is what politeness_salt>1 addresses.
+        # a bucket is what the salted path addresses.
+        # Round 4: co-location runs on the direct hash exchange instead
+        # of groupby(__hb) — the sort-based shuffle paid ~1-2 s of fixed
+        # cost per ROUND for what a dense-int partition does in two task
+        # layers (the same swap round 3 made in the admit stage; the
+        # per-round fixed costs are what cap the in-box scaling ratio).
         def add_hb(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["__hb"] = (pd.util.hash_array(
                 df["host"].to_numpy(dtype=object)) % 64).astype(np.int32)
             return df
 
-        def select_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        def select_bucket(t: pa.Table | None) -> pa.Table:
+            if t is None:                      # whole dataset empty
+                df = _EMPTY_FRONTIER.to_pandas()
+            else:                              # incl. typed empty slices
+                df = t.to_pandas().drop(columns="__hb")
             df = df.sort_values(["priority", "hash_hex"],
                                 ascending=[False, True], kind="mergesort")
             bmap = {h: budget_fn(delay_ms.get(h, 1000))
@@ -1127,13 +1190,12 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
             budgets = df["host"].map(bmap)
             rank = df.groupby("host", sort=False).cumcount()
             df["selected"] = (rank < budgets).to_numpy()
-            return df.drop(columns="__hb")
+            return pa.Table.from_pandas(df, preserve_index=False)
 
-        marked = _as_arrow(
-            pending.map_batches(add_hb, batch_format="pandas")
-            .groupby("__hb")
-            .map_groups(select_bucket, batch_format="pandas")
-        ).materialize()
+        from ..stages.exchange import exchange_map
+        marked = exchange_map(
+            pending.map_batches(add_hb, batch_format="pandas"),
+            "__hb", 64, select_bucket).materialize()
     stage_t["select_shuffle"] = round(time.perf_counter() - _t, 3)
     _t = time.perf_counter()
     def _only(flag: bool):

@@ -83,11 +83,36 @@ def _driver_components(edges: rd.Dataset, node_col: str,
         comp_col: pa.array([find(x) for x in nodes], pa.int64())}))
 
 
+def _driver_components_oracle_check(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """Union-find with path compression over a pandas pair frame — the
+    exact oracle tools/components_bench.py and the tests compare the
+    distributed propagation against. Driver-side by design (bench/test
+    only)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["id_a"].tolist(), pairs_df["id_b"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pd.DataFrame({"node": np.array(nodes, np.int64),
+                         "component": np.array([find(x) for x in nodes],
+                                               np.int64)})
+
+
 def connected_components(pairs: rd.Dataset, id_a: str = "id_a",
                          id_b: str = "id_b", node_col: str = "node",
                          comp_col: str = "component", max_iters: int = 30,
                          num_partitions: int = 16,
-                         driver_small_edges: int = 200_000) -> rd.Dataset:
+                         driver_small_edges: int = 200_000,
+                         round_times: list | None = None) -> rd.Dataset:
     """(node, component) for every node appearing in ``pairs``, where
     ``component`` is the minimum node id of its connected component.
     Raises ``RuntimeError`` if the propagation has not converged after
@@ -98,7 +123,11 @@ def connected_components(pairs: rd.Dataset, id_a: str = "id_a",
     ``driver_small_round_rows`` pattern — the iterative distributed
     rounds each pay a fixed shuffle cost that dwarfs a tiny graph);
     pytest asserts the two paths equal. Set it to 0 to force the
-    distributed path."""
+    distributed path. ``round_times``, when given a list, receives the
+    wall seconds of each propagation round (tools/components_bench.py —
+    the per-round cost must stay FLAT across rounds; superlinear growth
+    means tiny-block accumulation is back)."""
+    import time as _time
 
     def sym(t: pa.Table) -> pa.Table:
         a = t.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -129,6 +158,7 @@ def connected_components(pairs: rd.Dataset, id_a: str = "id_a",
 
     prev_sum = labels.sum("label")
     for _ in range(max_iters):
+        _rt0 = _time.perf_counter()
         # offers: each edge forwards its src's current label to dst
         joined = jn.hash_join(edges, labels, on="src",
                               num_partitions=num_partitions,
@@ -149,6 +179,8 @@ def connected_components(pairs: rd.Dataset, id_a: str = "id_a",
                  "label": t.column("min(label)").cast(pa.int64())},
                 schema=_LABEL_SCHEMA), batch_format="pyarrow").materialize())
         cur_sum = labels.sum("label")
+        if round_times is not None:
+            round_times.append(round(_time.perf_counter() - _rt0, 3))
         if cur_sum == prev_sum:      # labels are monotone non-increasing:
             break                    # equal sum == fixpoint, exactly
         prev_sum = cur_sum

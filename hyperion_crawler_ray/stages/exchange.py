@@ -37,6 +37,15 @@ import ray.data as rd
 def _split_task(tbl: pa.Table, col: str, n: int):
     """Partition one block by its integer ``col`` (values in [0, n))
     into ``n`` zero-copy slices via stable argsort + searchsorted."""
+    if col not in tbl.schema.names:
+        if tbl.num_rows == 0:
+            # Ray 2.49 artifact: repartition of an empty dataset emits
+            # schema-LESS zero-row blocks (found by the hypothesis
+            # layout property test); they carry nothing to partition
+            out = tuple(tbl.slice(0, 0) for _ in range(n))
+            return out if n > 1 else out[0]
+        raise KeyError(f"exchange partition column {col!r} missing from "
+                       f"block schema {tbl.schema.names}")
     v = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
     if len(v) and (v.min() < 0 or v.max() >= n):
         # out-of-range ids would silently vanish in the searchsorted
@@ -57,10 +66,14 @@ def _merge_task(fn, *pieces: pa.Table) -> pa.Table:
     live = [p for p in pieces if p is not None and p.num_rows]
     if not live:
         # empty partition: hand fn a TYPED zero-row slice of the input
-        # schema (every piece is a slice of a real block, so the schema
-        # is always available) — a pandas/arrow per-partition fn then
-        # produces typed empty output without a separate empty-case path
-        typed = next((p for p in pieces if p is not None), None)
+        # schema — a pandas/arrow per-partition fn then produces typed
+        # empty output without a separate empty-case path. Prefer a
+        # piece that actually HAS columns (schema-less zero-row blocks
+        # exist after an empty repartition — see _split_task); when no
+        # piece anywhere is typed, fall back to fn(None), the documented
+        # whole-dataset-empty contract.
+        typed = next((p for p in pieces
+                      if p is not None and p.num_columns), None)
         return fn(typed.slice(0, 0) if typed is not None else None)
     return fn(pa.concat_tables(live, promote_options="default"))
 

@@ -34,7 +34,14 @@ def shard_of(digest: bytes, n_shards: int) -> int:
 def shard_of_many(digests: list[bytes], n_shards: int) -> np.ndarray:
     if not digests:
         return np.empty(0, np.int64)
-    raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
+    joined = b"".join(digests)
+    if len(joined) != 20 * len(digests):
+        # a non-SHA-1 digest would silently misalign the reshape and
+        # scramble every row after it — fail loud (ADVICE round 3)
+        raise ValueError(
+            f"shard_of_many: digests must be 20-byte SHA-1; got total "
+            f"{len(joined)} bytes for {len(digests)} digests")
+    raw = np.frombuffer(joined, dtype=np.uint8).reshape(-1, 20)
     v = raw[:, 18].astype(np.int64) | (raw[:, 19].astype(np.int64) << 8)
     return v % n_shards
 

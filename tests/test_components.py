@@ -1,5 +1,7 @@
 """Connected components + fuzzy dedup (stages/components.py)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -115,3 +117,63 @@ def test_empty_pairs(ray_session):
     # to_pandas() on an empty from_arrow dataset drops columns (Ray
     # empty-block quirk) — assert the schema on the dataset itself
     assert out.schema().names == ["node", "component"]
+
+
+def test_distributed_at_size_flat_rounds(ray_session):
+    """Round-4 regression bound for the distributed path AT SIZE (sf
+    graphs take the union-find fast path, so the propagation's per-round
+    cost was never exercised by the suite): a 40k-pair star+chain graph
+    forced distributed must (a) equal the union-find oracle, (b)
+    converge in <= chain-diameter rounds, and (c) keep per-round cost
+    FLAT — the last round no worse than 3x the first (tiny-block
+    accumulation made it grow 0.5s -> 27s before the per-round coalesce;
+    3x is generous against machine noise, superlinear growth blows past
+    it). Full-size (600k pairs) lives in tools/components_bench.py and a
+    GRAFT_SLOW=1 gate below."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from components_bench import synth_pairs
+
+    from hyperion_crawler_ray.stages.components import (
+        _driver_components_oracle_check)
+
+    df = synth_pairs(40_000)
+    ds = rd.from_pandas(df).repartition(8).materialize()
+    rt = []
+    got = connected_components(ds, driver_small_edges=0,
+                               num_partitions=8, round_times=rt) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    want = _driver_components_oracle_check(df)
+    assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+    assert (got["component"].to_numpy()
+            == want["component"].to_numpy()).all()
+    assert len(rt) <= 8                       # chain_len 6 -> few rounds
+    assert rt[-1] <= 3 * rt[0] + 0.5, rt      # flat per-round cost
+
+
+@pytest.mark.skipif(os.environ.get("GRAFT_SLOW") != "1",
+                    reason="full-size components bench; set GRAFT_SLOW=1")
+def test_distributed_at_full_size(ray_session):
+    """The BASELINE.md-recorded load: >=10^6 directed edges."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from components_bench import synth_pairs
+
+    from hyperion_crawler_ray.stages.components import (
+        _driver_components_oracle_check)
+
+    df = synth_pairs(600_000)
+    ds = rd.from_pandas(df).repartition(32).materialize()
+    rt = []
+    got = connected_components(ds, driver_small_edges=0,
+                               num_partitions=16, round_times=rt) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    want = _driver_components_oracle_check(df)
+    assert (got["component"].to_numpy()
+            == want["component"].to_numpy()).all()
+    assert rt[-1] <= 3 * rt[0] + 0.5, rt

