@@ -38,12 +38,19 @@ _UNRESERVED_SET = frozenset(_UNRESERVED)
 
 _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 
-# Fast path: lowercase scheme+host, no port, no %-escapes, no dot segments,
-# no fragment, non-empty path starting with '/'. Matches the vast majority
-# of URLs after the first round of a crawl.
+# Fast path: lowercase scheme+host (no trailing dot), no port, no
+# %-escapes, no dot segments, no fragment, non-empty path starting with
+# '/'. Matches the vast majority of URLs after the first round of a
+# crawl. Character classes are exactly (unreserved ∪ slow-path `keep`)
+# minus '%': every char the slow path would emit UNCHANGED — '.' is
+# unreserved and included (round 4: it was missing, so every url with a
+# '.html' path took the full per-character parse; measured 0% fast-path
+# rate and ~15 µs/url on the bench corpus); dot SEGMENTS are excluded
+# separately by _DOTSEG_RE.
 _FAST_RE = re.compile(
-    r"^(https?)://([a-z0-9][a-z0-9.-]*)(/[A-Za-z0-9/_~!$&'()*+,;=:@-]*)"
-    r"(\?[A-Za-z0-9_~!$&'()*+,;=:@/?-]*[A-Za-z0-9_~!$&'()*+,;=:@/-])?$"
+    r"^(https?)://(?P<host>[a-z0-9]([a-z0-9.-]*[a-z0-9])?)"
+    r"(?P<path>/[A-Za-z0-9/._~!$&'()*+,;=:@-]*)"
+    r"(\?[A-Za-z0-9/._~!$&'()*+,;=:@?-]*[A-Za-z0-9/._~!$&'()*+,;=:@-])?$"
 )
 _DOTSEG_RE = re.compile(r"(^|/)\.\.?(/|$)")
 
@@ -115,8 +122,10 @@ def canonicalize_url(url: str, base: str | None = None) -> str | None:
         url = urljoin(base, url)
 
     m = _FAST_RE.match(url)
-    if m is not None and "//" not in m.group(3)[1:] and not _DOTSEG_RE.search(m.group(3)):
-        return url
+    if m is not None:
+        p = m.group("path")
+        if "//" not in p[1:] and not _DOTSEG_RE.search(p):
+            return url
 
     # Full parse. Manual split keeps us independent of urlsplit quirks.
     frag_split = url.split("#", 1)[0]

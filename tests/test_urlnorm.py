@@ -66,3 +66,36 @@ def test_batch_matches_scalar():
             assert hashes[i] == sha1_bytes(want)
         else:
             assert hosts[i] is None and hashes[i] is None
+
+
+def test_fast_path_equals_slow_path():
+    """Round 4 widened the fast-path regex (dots in path/query are
+    unreserved); the invariant it must uphold: any url the fast path
+    ACCEPTS is returned byte-identically by the full parse."""
+    import hyperion_crawler_ray.functions.urlnorm as U
+
+    class _NeverMatch:
+        def match(self, *a):
+            return None
+
+    urls = [
+        "http://host0027.example.com/india/batch/p0.html",
+        "https://a.b.c/x/y.z?q=1&r=2.5",
+        "http://h/x.y.z/file-name_1.html?a=b.c",
+        "http://host./p",            # trailing host dot -> slow path
+        "http://h/p/./q", "http://h/p/../q",   # dot segments -> slow
+        "http://h//p", "http://H/p", "http://h:80/p", "http://h/p?",
+        "http://h/p%41", "http://h/p?x=%7E", "http://h/sp ace",
+        "https://h/p?q=a?b", "http://h/p?q=a?", "http://h/",
+        "http://h/~user/.hidden/file.tar.gz?v=1.2.3",
+    ]
+    fast = [U.canonicalize_url(u) for u in urls]
+    orig = U._FAST_RE
+    try:
+        U._FAST_RE = _NeverMatch()
+        slow = [U.canonicalize_url(u) for u in urls]
+    finally:
+        U._FAST_RE = orig
+    assert fast == slow
+    # and the bench-shaped urls actually HIT the fast path now
+    assert U._FAST_RE.match("http://host0027.example.com/india/p0.html")
