@@ -424,13 +424,19 @@ GROUP BY r.r_name
 
 
 def q_semi_anti_join(sf_dir):
-    """J-2 semi-join gate AND its negation (dead-letter side) against
-    the same broadcast key set (merged round 2): every customer appears
-    exactly once, flagged by whether it survives the semi side."""
-    od = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                       columns=["o_custkey", "o_orderpriority"])
-    urgent = od.filter(pc.equal(od.column("o_orderpriority"), "1-URGENT")) \
-               .column("o_custkey").to_pylist()
+    """J-2 semi-join gate AND its negation (dead-letter side), merged
+    round 2: every customer appears exactly once, flagged by whether it
+    survives the semi side. Round 4: the two legs deliberately exercise
+    BOTH join strategies — the semi leg broadcasts a DISTRIBUTED
+    distinct key set (small-side pattern: the driver holds only the
+    deduped keys, never the orders column), the anti leg runs the
+    scale-safe bucketed ``semi_join_large`` with no driver key set at
+    all (round 3 pulled the raw orders column to the driver)."""
+    urgent_ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: pa.table({
+            "c_custkey": t.filter(pc.equal(
+                t.column("o_orderpriority"), "1-URGENT"))
+            .column("o_custkey")}), batch_format="pyarrow")
     ds = _t(sf_dir, "customer", ["c_custkey"])
 
     def flag(v: bool):
@@ -439,9 +445,12 @@ def q_semi_anti_join(sf_dir):
                 "has_urgent", pa.array(np.full(t.num_rows, v), pa.bool_()))
         return f
 
-    kept = jn.semi_join(ds, "c_custkey", urgent) \
+    urgent_keys = urgent_ds.unique("c_custkey")   # distributed distinct
+    kept = jn.semi_join(ds, "c_custkey", urgent_keys) \
         .map_batches(flag(True), batch_format="pyarrow")
-    rejected = jn.anti_join(ds, "c_custkey", urgent) \
+    rejected = jn.semi_join_large(
+        ds, urgent_ds, on="c_custkey", how="anti", num_partitions=8,
+        right_schema=pa.schema([("c_custkey", pa.int64())])) \
         .map_batches(flag(False), batch_format="pyarrow")
     return kept.union(rejected)
 

@@ -37,6 +37,15 @@ import ray.data as rd
 def _split_task(tbl: pa.Table, col: str, n: int):
     """Partition one block by its integer ``col`` (values in [0, n))
     into ``n`` zero-copy slices via stable argsort + searchsorted."""
+    if not isinstance(tbl, pa.Table):
+        # Ray 2.49 passes fully-EMPTY pandas blocks through map
+        # operators without invoking the UDF, so the arrow-normalizing
+        # identity map upstream cannot catch them (observed: an empty
+        # groupby().map_groups output block)
+        import pandas as pd
+
+        assert isinstance(tbl, pd.DataFrame), type(tbl)
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     if col not in tbl.schema.names:
         if tbl.num_rows == 0:
             # Ray 2.49 artifact: repartition of an empty dataset emits
@@ -112,7 +121,10 @@ def exchange_map(ds: rd.Dataset, part_col: str, n_parts: int,
     empty) Arrow table — the per-group contract of
     ``groupby().map_groups`` without the sort-based shuffle.
     """
-    mat = coalesce_tiny(ds.materialize())
+    # normalize to Arrow blocks first (fuses with the upstream map): a
+    # pandas-blocked upstream would hand _split_task DataFrames
+    mat = coalesce_tiny(
+        ds.map_batches(lambda t: t, batch_format="pyarrow").materialize())
     refs = mat.to_arrow_refs()
     if not refs:
         return rd.from_arrow(fn(None))

@@ -268,6 +268,25 @@ def semi_join_large(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
                           r_select=on)
 
 
+def _co_group(lt: rd.Dataset, rt: rd.Dataset, n_buckets: int,
+              fn, empty_schema: pa.Schema) -> rd.Dataset:
+    """Round 4: per-bucket co-group via the direct hash exchange — the
+    dense ``__bucket`` id is exactly what the exchange partitions on,
+    and the sort-based ``groupby("__bucket")`` paid ~1-2 s of fixed
+    sample/sort/reduce latency per join EXECUTION (this core sits under
+    every hash/semi/anti/as-of/range join in the repo). The exchange is
+    EAGER: the tagged union materializes once (as any all-to-all would)
+    instead of streaming lazily into a sort."""
+    from .exchange import exchange_map
+
+    def part_fn(t: pa.Table | None) -> pa.Table:
+        if t is None:
+            return empty_schema.empty_table()
+        return fn(t)
+
+    return exchange_map(lt.union(rt), "__bucket", n_buckets, part_fn)
+
+
 def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                    l_cols: list[str], r_cols: list[str],
                    l_schema: pa.Schema, r_schema: pa.Schema,
@@ -368,8 +387,8 @@ def _bucketed_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         # can emit a different order than the empty-block schema)
         return out.select(result_schema.names).cast(result_schema)
 
-    return lt.union(rt).groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pyarrow")
+    return _co_group(lt, rt, num_partitions * (salt if salted else 1),
+                     merge_bucket, result_schema)
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
@@ -453,8 +472,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
             merged, preserve_index=False).select(
             out_schema.names).cast(out_schema)
 
-    return lt.union(rt).groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pyarrow")
+    return _co_group(lt, rt, num_partitions, merge_bucket, out_schema)
 
 
 def range_join(left: rd.Dataset, right: rd.Dataset, key: str,
@@ -556,5 +574,4 @@ def range_join(left: rd.Dataset, right: rd.Dataset, key: str,
             merged, preserve_index=False).select(
             out_schema.names).cast(out_schema)
 
-    return lt.union(rt).groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pyarrow")
+    return _co_group(lt, rt, num_partitions, merge_bucket, out_schema)
