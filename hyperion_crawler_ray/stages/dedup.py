@@ -169,6 +169,9 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
         per band_hash. Output dtype pinned to the id column's dtype even
         when empty (an untyped empty frame becomes Arrow `null` and
         poisons downstream join schemas — observed)."""
+        if id_col not in df.columns:     # whole-dataset-empty partition
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64)})
         id_dtype = df[id_col].dtype
         out_a, out_b = [], []
         for _, g in df.groupby(["band", "band_hash"], sort=False):
@@ -191,12 +194,20 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
             "id_b": np.concatenate(out_b).astype(id_dtype, copy=False),
         }).drop_duplicates()
 
+    # round 4: both coarse-bucket co-locations run on the direct hash
+    # exchange (dense-int partition ids) instead of sort-based groupbys
+    # — the same fixed-cost swap as the joins' _co_group
+    from .exchange import _pd_partition, exchange_map
+
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = banded.groupby("__bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    cand = exchange_map(banded, "__bucket", num_buckets,
+                        _pd_partition(pairs_in_bucket))
 
     # dedup pairs found in multiple bands: coarse-bucket again on id_a
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if "__b2" not in df.columns:     # whole-dataset-empty partition
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64)})
         return df.drop_duplicates(["id_a", "id_b"]).drop(columns="__b2")
 
     def pre_dedup(df: pd.DataFrame) -> pd.DataFrame:
@@ -205,12 +216,9 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
             __b2=(pd.util.hash_array(df["id_a"].to_numpy()) % num_buckets)
             .astype(np.int32))
 
-    return (
-        cand.map_batches(pre_dedup, batch_format="pandas")
-        .groupby("__b2")
-        .map_groups(dedup_bucket, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-    )
+    return exchange_map(
+        cand.map_batches(pre_dedup, batch_format="pandas"),
+        "__b2", num_buckets, _pd_partition(dedup_bucket))
 
 
 def _shingle_sets(col: pa.Array | pa.ChunkedArray, k: int) -> list[np.ndarray]:

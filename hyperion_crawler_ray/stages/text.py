@@ -276,6 +276,10 @@ def tfidf_top_terms(ds: rd.Dataset, id_col: str, text_col: str,
         return f
 
     def idf_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in df.columns:     # whole-dataset-empty partition
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 "term": np.array([], object),
+                                 "tfidf": np.array([], np.float64)})
         dfreq = df.groupby("term", sort=False)[id_col].transform("size") \
             .to_numpy(dtype=np.float64)
         x = df["tf"].to_numpy(dtype=np.float64) * np.log(lg_n / dfreq)
@@ -285,6 +289,11 @@ def tfidf_top_terms(ds: rd.Dataset, id_col: str, text_col: str,
                              "tfidf": tfidf})
 
     def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in df.columns:     # whole-dataset-empty partition
+            return pd.DataFrame({id_col: np.array([], np.int64),
+                                 "term": np.array([], object),
+                                 "tfidf": np.array([], np.float64),
+                                 "rn": np.array([], np.int64)})
         df = df.sort_values([id_col, "tfidf", "term"],
                             ascending=[True, False, True],
                             kind="mergesort")
@@ -292,13 +301,13 @@ def tfidf_top_terms(ds: rd.Dataset, id_col: str, text_col: str,
         df["rn"] = df.groupby(id_col, sort=False).cumcount() + 1
         return df.drop(columns="__tb")
 
-    return (
-        ds.map_batches(explode_tf, batch_format="pyarrow")
+    # round 4: both co-locations run on the direct hash exchange (dense
+    # 64-way bucket ids) instead of sort-based groupbys
+    from .exchange import _pd_partition, exchange_map
+
+    tf = ds.map_batches(explode_tf, batch_format="pyarrow") \
         .map_batches(bucket_by("term"), batch_format="pandas")
-        .groupby("__tb")
-        .map_groups(idf_bucket, batch_format="pandas")
-        .map_batches(bucket_by(id_col), batch_format="pandas")
-        .groupby("__tb")
-        .map_groups(topk_bucket, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-    )
+    scored = exchange_map(tf, "__tb", 64, _pd_partition(idf_bucket))
+    rebucketed = scored.map_batches(bucket_by(id_col),
+                                    batch_format="pandas")
+    return exchange_map(rebucketed, "__tb", 64, _pd_partition(topk_bucket))
