@@ -67,15 +67,18 @@ def exact_dedup(ds: rd.Dataset, keys: list[str],
         return df
 
     def pick_drop(df: pd.DataFrame) -> pd.DataFrame:
+        if "__bucket" not in df.columns:  # whole-dataset-empty partition
+            return df
         return pick(df).drop(columns="__bucket")
 
-    return (
+    # round 4: the co-location runs on the direct hash exchange (dense
+    # bucket ids) instead of a sort-based groupby
+    from .exchange import _pd_partition, exchange_map
+
+    return exchange_map(
         ds.map_batches(pick_and_bucket, batch_format="pandas",
-                       batch_size=16384)
-        .groupby("__bucket")
-        .map_groups(pick_drop, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-    )
+                       batch_size=16384),
+        "__bucket", num_buckets, _pd_partition(pick_drop))
 
 
 def latest_per_key(ds: rd.Dataset, keys: list[str], ts_col: str,

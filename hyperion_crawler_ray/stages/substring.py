@@ -86,9 +86,12 @@ def cross_doc_ngram_stats(ds: rd.Dataset, text_col: str, id_col: str,
                 dinv, weights=shared.astype(np.float64)).astype(np.int64),
         })
 
-    partials = ds.map_batches(explode, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_fn, batch_format="pandas") \
-        .map_batches(lambda t: t, batch_format="pyarrow")
+    # round 4: the gram-bucket co-location (the ONE full-size shuffle
+    # here) runs on the direct hash exchange instead of a sort groupby
+    from .exchange import _pd_partition, exchange_map
+
+    partials = exchange_map(ds.map_batches(explode, batch_format="pyarrow"),
+                            "bucket", n_buckets, _pd_partition(bucket_fn))
     totals = partials.groupby(id_col).sum(["n_grams", "n_shared"])
 
     def finish(t: pa.Table) -> pa.Table:
