@@ -742,9 +742,8 @@ def _split_block_by_bucket(t: pa.Table, n_buckets: int):
     return tuple(out)
 
 
-@ray.remote
-def _fetch_bucket_task(paths: list[str], sched_refs: list,
-                       columns: list[str]) -> pa.Table:
+def _fetch_bucket_local(paths: list[str], pieces: list[pa.Table],
+                        columns: list[str]) -> pa.Table:
     """Read ONE index bucket (column-pruned) and inner-join it against
     that bucket's schedule pieces on the binary url_hash.
 
@@ -757,10 +756,11 @@ def _fetch_bucket_task(paths: list[str], sched_refs: list,
     per-task Arrow scanner pool oversubscribes the box, measured -35%
     at 8 cpus with ``pyarrow.dataset.to_table(filter=...)``), and only
     ``is_in``-matching rows ever materialize. The join then runs on
-    |schedule|-sized input, not |bucket|-sized."""
+    |schedule|-sized input, not |bucket|-sized. Plain function so the
+    driver fast path can call it inline (round 4); the distributed
+    rounds run it inside ``_fetch_bucket_task``."""
     import bisect
 
-    pieces = [s for s in ray.get(list(sched_refs)) if s is not None]
     sched = pa.concat_tables(pieces)
     want = sched.column("url_hash").combine_chunks()
     wanted_sorted = sorted(want.to_pylist())
@@ -793,6 +793,13 @@ def _fetch_bucket_task(paths: list[str], sched_refs: list,
     else:
         idx = pa.concat_tables(tabs)
     return idx.join(sched, keys="url_hash", join_type="inner")
+
+
+@ray.remote
+def _fetch_bucket_task(paths: list[str], sched_refs: list,
+                       columns: list[str]) -> pa.Table:
+    pieces = [s for s in ray.get(list(sched_refs)) if s is not None]
+    return _fetch_bucket_local(paths, pieces, columns)
 
 
 def _assign_seq(selected: rd.Dataset, r: int, order_dir: str | None):
@@ -881,6 +888,47 @@ def _build_schedule(sched: pd.DataFrame, r: int):
                               sched["priority"], sched["depth"])
     }
     return sched, order_tbl, sched_map
+
+
+def _fetch_extract_driver(sched: pd.DataFrame, idx_dir: str,
+                          cfg: CrawlConfig) -> pa.Table | None:
+    """Inline fetch+extract for TINY schedules (round 4): a Ray Dataset
+    pipeline costs 1-3 s of fixed launch latency regardless of size —
+    the BFS warm-up rounds of a sparse-seed crawl paid that for 16-900
+    pages each. Same leaf machinery as the distributed path: per-bucket
+    pruned row-group reads (``_fetch_bucket_local``) + ``ExtractWithRetry``
+    over 1024-row slices (the pipeline's batch size, so the injected-
+    failure semantics stay comparable)."""
+    import glob as _glob
+
+    hl = list(sched["url_hash"])
+    if not hl:
+        return None
+    buckets = bucket_of_many(hl, cfg.n_buckets)
+    sub_tbl = pa.table({
+        "url_hash": pa.array(hl, pa.binary()),
+        "seq": pa.array(sched["seq"].to_numpy(), pa.int64()),
+        "priority": pa.array(sched["priority"].to_numpy(), pa.float64()),
+        "depth": pa.array(sched["depth"].to_numpy().astype(np.int32),
+                          pa.int32()),
+    })
+    tabs = []
+    for b in sorted(set(buckets.tolist())):
+        paths = sorted(_glob.glob(
+            os.path.join(idx_dir, f"bucket={b}", "*.parquet")))
+        if not paths:
+            continue
+        sub = sub_tbl.filter(pa.array(buckets == b))
+        t = _fetch_bucket_local(paths, [sub], _FETCH_COLS)
+        if t.num_rows:
+            tabs.append(t)
+    if not tabs:
+        return None
+    t = pa.concat_tables(tabs, promote_options="default")
+    extract_fn = ExtractWithRetry(cfg.score_pages, cfg.fetch_retry_attempts,
+                                  cfg.fetch_failure_rate)
+    outs = [extract_fn(t.slice(i, 1024)) for i in range(0, t.num_rows, 1024)]
+    return pa.concat_tables(outs, promote_options="default")
 
 
 def _fetch_extract(sched: pd.DataFrame, sched_map: dict, idx_dir: str,
@@ -1013,7 +1061,17 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
     sched, order_tbl, sched_map = _build_schedule(sched, r)
 
     _t = time.perf_counter()
-    extracted = _fetch_extract(sched, sched_map, idx_dir, cfg)
+    if n_selected <= 1024:
+        # inline fetch: a Ray pipeline costs seconds of fixed launch
+        # latency — pure overhead for a <=1-batch schedule
+        ex_tbl = _fetch_extract_driver(sched, idx_dir, cfg)
+    else:
+        extracted = _fetch_extract(sched, sched_map, idx_dir, cfg)
+        ex_tbl = pa.concat_tables(
+            list(extracted.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536)),
+            promote_options="default") \
+            if extracted is not None and extracted.count() else None
     stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
 
     _t = time.perf_counter()
@@ -1022,25 +1080,20 @@ def _run_round_small(r: int, pending_tbl: pa.Table, idx_dir: str,
     bucket_rows: list[dict] = []
     err_samples: list[str] = []
     new_rows = _EMPTY_FRONTIER.to_pandas()
-    if extracted is not None:
-        ex_tbl = pa.concat_tables(
-            list(extracted.iter_batches(batch_format="pyarrow",
-                                        batch_size=65536)),
-            promote_options="default") if extracted.count() else None
-        if ex_tbl is not None and ex_tbl.num_rows:
-            n_fetched = ex_tbl.num_rows
-            retries = int(pc.sum(ex_tbl.column("fetch_attempts")).as_py()
-                          or 0) - n_fetched
-            bucket_rows, err_samples = _bucket_metrics(ex_tbl, cfg.n_buckets)
-            pq_dir = os.path.join(tmp, "pages")
-            os.makedirs(pq_dir, exist_ok=True)
-            pq.write_table(_pages_from_extracted(ex_tbl, r),
-                           os.path.join(pq_dir, "part-0.parquet"))
-            # expand links -> candidates -> admit (driver, same semantics)
-            cand = _explode_links(
-                ex_tbl.select(["url", "links", "priority", "depth"]),
-                cfg.link_priority_decay)
-            new_rows = _admit_driver(cand, robots_idx, shards)
+    if ex_tbl is not None and ex_tbl.num_rows:
+        n_fetched = ex_tbl.num_rows
+        retries = int(pc.sum(ex_tbl.column("fetch_attempts")).as_py()
+                      or 0) - n_fetched
+        bucket_rows, err_samples = _bucket_metrics(ex_tbl, cfg.n_buckets)
+        pq_dir = os.path.join(tmp, "pages")
+        os.makedirs(pq_dir, exist_ok=True)
+        pq.write_table(_pages_from_extracted(ex_tbl, r),
+                       os.path.join(pq_dir, "part-0.parquet"))
+        # expand links -> candidates -> admit (driver, same semantics)
+        cand = _explode_links(
+            ex_tbl.select(["url", "links", "priority", "depth"]),
+            cfg.link_priority_decay)
+        new_rows = _admit_driver(cand, robots_idx, shards)
     stage_t["admit"] = round(time.perf_counter() - _t, 3)
 
     next_df = pd.concat([deferred, new_rows], ignore_index=True) \
