@@ -1264,7 +1264,11 @@ def q_ivf_topk(sf_dir):
     quantizer is the DISTRIBUTED Lloyd fit (stages/kmeans.py — per-batch
     sufficient-statistic combiner, broadcast centroid updates) instead of
     the driver-sample fit; ``inertia_monotone`` self-validates the
-    classic Lloyd convergence guarantee on every driver row."""
+    classic Lloyd convergence guarantee on every driver row. Round 4
+    adds the ``method='pq'`` family (stages/pq.py — product
+    quantization, Jégou et al. 2011): 8-byte ADC codes nominate
+    candidates, an exact re-rank restores fine order; ``in_exact``
+    records the two-stage search's recall per row."""
     from ..stages.kmeans import kmeans_fit
 
     q = _query_vec(sf_dir)
@@ -1286,7 +1290,26 @@ def q_ivf_topk(sf_dir):
     ivf = ivf.copy()
     ivf["in_exact"] = ivf["vec_id"].isin(exact_ids)
     ivf["inertia_monotone"] = monotone
-    return ivf[["rank", "vec_id", "cos", "in_exact", "inertia_monotone"]]
+    ivf["method"] = "ivf"
+    ivf = ivf[["method", "rank", "vec_id", "cos", "in_exact",
+               "inertia_monotone"]]
+
+    # round 4: product-quantization family (stages/pq.py — Jégou et al.
+    # 2011): 8-byte codes per vector, ADC lookup-table search. Same
+    # self-validating shape: in_exact = recall row against the exact
+    # top-k (approximate by design — the driver row records recall).
+    from ..stages import pq as pqm
+
+    pfit = pqm.pq_fit(ds, "embedding", m=8, ks=16)
+    codes = pqm.pq_encode(ds, "embedding", "vec_id", pfit)
+    pq_hits = pqm.pq_search_rerank(ds, codes, "embedding", "vec_id",
+                                   pfit, q, k=10, rerank=50)
+    pq_hits["in_exact"] = pq_hits["vec_id"].isin(exact_ids)
+    pq_hits["inertia_monotone"] = monotone   # column parity with ivf rows
+    pq_hits["method"] = "pq"
+    return pd.concat(
+        [ivf, pq_hits[["method", "rank", "vec_id", "cos", "in_exact",
+                       "inertia_monotone"]]], ignore_index=True)
 
 
 def q_multimodal_pipeline(sf_dir):
