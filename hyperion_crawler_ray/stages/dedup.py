@@ -350,7 +350,12 @@ def embedding_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
             "bucket": pa.array(all_buckets.astype(np.int64), pa.int64()),
         })
 
-    def within(t: pa.Table) -> pa.Table:
+    _EMPTY_PAIRS = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                              ("cos", pa.float64())])
+
+    def within(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return _EMPTY_PAIRS.empty_table()
         ids_all = t.column(id_col).to_numpy(zero_copy_only=False)
         # drop multi-probe replicas of the same id within the bucket
         _, first = np.unique(ids_all, return_index=True)
@@ -379,14 +384,23 @@ def embedding_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
             .astype(np.int32))
 
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if "__b2" not in df.columns:     # whole-dataset-empty partition
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64),
+                                 "cos": np.array([], np.float64)})
         return df.drop_duplicates(["id_a", "id_b"]).drop(columns="__b2")
 
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(within, batch_format="pyarrow")
-        .map_batches(pre_dedup, batch_format="pandas")
-        .groupby("__b2")
-        .map_groups(dedup_bucket, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-    )
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    from .exchange import _pd_partition, exchange_map
+    if n_buckets <= 512:
+        # bounded bucket count: the direct hash exchange (round 4 — the
+        # same fixed-cost swap as every other dense-int co-location)
+        pairs = exchange_map(bucketed, "bucket", n_buckets, within)
+    else:
+        # unbounded bucket counts (n_buckets scales with the dataset, up
+        # to 2^20) need the sort-based shuffle — a task per partition
+        # would explode
+        pairs = bucketed.groupby("bucket") \
+            .map_groups(within, batch_format="pyarrow")
+    return exchange_map(pairs.map_batches(pre_dedup, batch_format="pandas"),
+                        "__b2", 64, _pd_partition(dedup_bucket))
