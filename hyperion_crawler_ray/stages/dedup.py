@@ -71,11 +71,10 @@ def exact_dedup(ds: rd.Dataset, keys: list[str],
             return df
         return pick(df).drop(columns="__bucket")
 
-    # round 4: the co-location runs on the direct hash exchange (dense
-    # bucket ids) instead of a sort-based groupby
-    from .exchange import _pd_partition, exchange_map
+    # LAZY co-location (round-4 measured trade — see exchange.co_locate)
+    from .exchange import _pd_partition, co_locate
 
-    return exchange_map(
+    return co_locate(
         ds.map_batches(pick_and_bucket, batch_format="pandas",
                        batch_size=16384),
         "__bucket", num_buckets, _pd_partition(pick_drop))
@@ -197,14 +196,13 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
             "id_b": np.concatenate(out_b).astype(id_dtype, copy=False),
         }).drop_duplicates()
 
-    # round 4: both coarse-bucket co-locations run on the direct hash
-    # exchange (dense-int partition ids) instead of sort-based groupbys
-    # — the same fixed-cost swap as the joins' _co_group
-    from .exchange import _pd_partition, exchange_map
+    # LAZY co-location (round-4 measured trade — see exchange.co_locate):
+    # one-shot lazy pipeline, the streaming groupby fuses per query
+    from .exchange import _pd_partition, co_locate
 
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = exchange_map(banded, "__bucket", num_buckets,
-                        _pd_partition(pairs_in_bucket))
+    cand = co_locate(banded, "__bucket", num_buckets,
+                     _pd_partition(pairs_in_bucket))
 
     # dedup pairs found in multiple bands: coarse-bucket again on id_a
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -219,7 +217,7 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str,
             __b2=(pd.util.hash_array(df["id_a"].to_numpy()) % num_buckets)
             .astype(np.int32))
 
-    return exchange_map(
+    return co_locate(
         cand.map_batches(pre_dedup, batch_format="pandas"),
         "__b2", num_buckets, _pd_partition(dedup_bucket))
 
@@ -391,16 +389,7 @@ def embedding_near_dup(ds: rd.Dataset, vec_col: str, id_col: str,
         return df.drop_duplicates(["id_a", "id_b"]).drop(columns="__b2")
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    from .exchange import _pd_partition, exchange_map
-    if n_buckets <= 512:
-        # bounded bucket count: the direct hash exchange (round 4 — the
-        # same fixed-cost swap as every other dense-int co-location)
-        pairs = exchange_map(bucketed, "bucket", n_buckets, within)
-    else:
-        # unbounded bucket counts (n_buckets scales with the dataset, up
-        # to 2^20) need the sort-based shuffle — a task per partition
-        # would explode
-        pairs = bucketed.groupby("bucket") \
-            .map_groups(within, batch_format="pyarrow")
-    return exchange_map(pairs.map_batches(pre_dedup, batch_format="pandas"),
-                        "__b2", 64, _pd_partition(dedup_bucket))
+    from .exchange import _pd_partition, co_locate
+    pairs = co_locate(bucketed, "bucket", n_buckets, within)
+    return co_locate(pairs.map_batches(pre_dedup, batch_format="pandas"),
+                     "__b2", 64, _pd_partition(dedup_bucket))

@@ -112,6 +112,25 @@ def _pd_partition(f: Callable[["pd.DataFrame"], "pd.DataFrame"]):
     return g
 
 
+def co_locate(ds: rd.Dataset, part_col: str, n_parts: int,
+              fn: Callable[[pa.Table | None], pa.Table]) -> rd.Dataset:
+    """LAZY co-location with ``exchange_map``'s fn contract, on the
+    sort-based groupby shuffle. Measured trade (round 4, interleaved
+    same-process A/B at sf0.1): for ONE-SHOT lazy pipelines — the
+    operator suite — the streaming groupby beats the eager exchange
+    1.5-3x per query, because the exchange pays a full extra input
+    materialization per call while the groupby fuses into the single
+    streaming execution. The exchange wins where its input is ALREADY
+    materialized and its output is consumed repeatedly (the crawl's
+    admit/select round loop: measured +600 pps in round 3, and SemDeDup
+    cluster co-location). Pick per call site; both take the same
+    partition fn (here it only ever sees non-empty groups, plus Ray
+    2.49's occasional empty pandas block, which every in-repo fn
+    guards)."""
+    return ds.groupby(part_col).map_groups(lambda t: fn(t),
+                                           batch_format="pyarrow")
+
+
 def exchange_map(ds: rd.Dataset, part_col: str, n_parts: int,
                  fn: Callable[[pa.Table | None], pa.Table]) -> rd.Dataset:
     """Run ``fn`` once per partition over all rows whose ``part_col``

@@ -86,12 +86,11 @@ def cross_doc_ngram_stats(ds: rd.Dataset, text_col: str, id_col: str,
                 dinv, weights=shared.astype(np.float64)).astype(np.int64),
         })
 
-    # round 4: the gram-bucket co-location (the ONE full-size shuffle
-    # here) runs on the direct hash exchange instead of a sort groupby
-    from .exchange import _pd_partition, exchange_map
+    # LAZY co-location (round-4 measured trade — see exchange.co_locate)
+    from .exchange import _pd_partition, co_locate
 
-    partials = exchange_map(ds.map_batches(explode, batch_format="pyarrow"),
-                            "bucket", n_buckets, _pd_partition(bucket_fn))
+    partials = co_locate(ds.map_batches(explode, batch_format="pyarrow"),
+                         "bucket", n_buckets, _pd_partition(bucket_fn))
     totals = partials.groupby(id_col).sum(["n_grams", "n_shared"])
 
     def finish(t: pa.Table) -> pa.Table:

@@ -301,13 +301,12 @@ def tfidf_top_terms(ds: rd.Dataset, id_col: str, text_col: str,
         df["rn"] = df.groupby(id_col, sort=False).cumcount() + 1
         return df.drop(columns="__tb")
 
-    # round 4: both co-locations run on the direct hash exchange (dense
-    # 64-way bucket ids) instead of sort-based groupbys
-    from .exchange import _pd_partition, exchange_map
+    # LAZY co-locations (round-4 measured trade — see exchange.co_locate)
+    from .exchange import _pd_partition, co_locate
 
     tf = ds.map_batches(explode_tf, batch_format="pyarrow") \
         .map_batches(bucket_by("term"), batch_format="pandas")
-    scored = exchange_map(tf, "__tb", 64, _pd_partition(idf_bucket))
+    scored = co_locate(tf, "__tb", 64, _pd_partition(idf_bucket))
     rebucketed = scored.map_batches(bucket_by(id_col),
                                     batch_format="pandas")
-    return exchange_map(rebucketed, "__tb", 64, _pd_partition(topk_bucket))
+    return co_locate(rebucketed, "__tb", 64, _pd_partition(topk_bucket))
