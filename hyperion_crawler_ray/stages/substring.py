@@ -57,16 +57,23 @@ def cross_doc_ngram_stats(ds: rd.Dataset, text_col: str, id_col: str,
     (itself included); ``dup_ngram_frac`` their ratio (0 for empty)."""
 
     def explode(t: pa.Table) -> pa.Table:
+        # round 4: flat batch shingles + ONE lexsort-dedup instead of a
+        # per-doc np.unique loop (same unique (doc, gram) rows)
         tok_hashes, offs = H.tokenize_batch(t.column(text_col))
-        grams = H.shingle_hashes_from_tokens(tok_hashes, offs, n)
+        flat_sh, seg_offs = H.shingle_flat(tok_hashes, offs, n)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        counts = np.array([len(g) for g in grams], dtype=np.int64)
-        flat = (np.concatenate(grams) if len(grams)
-                else np.empty(0, np.uint64))
+        counts = seg_offs[1:] - seg_offs[:-1]
+        doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        order = np.lexsort((flat_sh, doc_rep))
+        d, g = doc_rep[order], flat_sh[order]
+        if len(g):
+            keep = np.ones(len(g), bool)
+            keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+            d, g = d[keep], g[keep]
         return pa.table({
-            "gram": flat,
-            "doc": np.repeat(ids, counts),
-            "bucket": (flat % np.uint64(n_buckets)).astype(np.int64),
+            "gram": g,
+            "doc": ids[d],
+            "bucket": (g % np.uint64(n_buckets)).astype(np.int64),
         })
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
