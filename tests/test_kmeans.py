@@ -100,3 +100,16 @@ def test_semantic_near_dup_mega_cluster_star_cap():
     assert 0 < len(pairs) <= n
     # star pairing keeps the dedup-component property: every id appears
     assert set(pairs["id_a"]) | set(pairs["id_b"]) == set(range(n))
+
+
+def test_kmeans_init_storage_order_independent():
+    """Round 4 replaced the prefix-sample init with a content-hash-rank
+    pool: the fit must be identical under a PERMUTED row order (round
+    3's limit(4096) prefix was storage-order-dependent by construction)."""
+    t, _ = _blob_table(seed=11)
+    perm = np.random.RandomState(3).permutation(t.num_rows)
+    t_perm = t.take(pa.array(perm))
+    fa = kmeans_fit(rd.from_arrow(t), "vec", k=3, iters=5, seed=5)
+    fb = kmeans_fit(rd.from_arrow(t_perm).repartition(7), "vec", k=3,
+                    iters=5, seed=5)
+    np.testing.assert_allclose(fa["centroids"], fb["centroids"], atol=1e-9)

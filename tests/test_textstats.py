@@ -155,3 +155,40 @@ def test_minhash_flat_equals_per_doc():
     for chunk in (7, 63, 1 << 10, 10 ** 9):
         got = H.minhash_batch(th, offs, a, b, k=3, chunk=chunk)
         assert got.shape == ref.shape and (got == ref).all(), chunk
+
+
+def test_hash_tokens_matches_scalar_reference():
+    """Pin the bytes-level token hash definition against a pure-Python
+    scalar re-derivation (global-position polynomial x P^-start shift +
+    length fold + fmix64)."""
+    import pyarrow as pa
+
+    from hyperion_crawler_ray.functions import hashing as H
+
+    M64 = 1 << 64
+    P = 1099511628211
+    P_INV = pow(P, -1, M64)
+    F1, F2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+
+    def scalar(tokens):
+        out = []
+        pos = 0
+        for s in tokens:
+            b = s.encode("utf-8")
+            acc = 0
+            for i, ch in enumerate(b):
+                acc = (acc + ch * pow(P, pos + i, M64)) % M64
+            acc = (acc * pow(P_INV, pos, M64)) % M64
+            h = acc ^ ((len(b) * P) % M64)
+            h ^= h >> 33
+            h = (h * F1) % M64
+            h ^= h >> 33
+            h = (h * F2) % M64
+            h ^= h >> 29
+            out.append(h)
+            pos += len(b)
+        return out
+
+    toks = ["alpha", "b", "", "word12", "ünïcödé", "x" * 100]
+    got = H.hash_tokens(pa.array(toks, pa.string())).tolist()
+    assert got == scalar(toks)
