@@ -97,6 +97,23 @@ class CrawlConfig:
     # 0 disables.
     auto_salt_pending_rows: int = 100_000
     auto_salt_n: int = 8
+    # Control plane for distributed rounds (round 5):
+    #   "task"    — static co-partitioned task graph (frontier_tg.py): the
+    #               pending frontier lives across rounds as `host_buckets`
+    #               host-hash-partitioned Arrow objects; a round is raw
+    #               task layers with ZERO Dataset executions (the fix for
+    #               the per-round fixed-latency scaling residual, the same
+    #               pattern as stages/components.py).
+    #   "dataset" — the round-1..4 Ray Data round loop (kept for A/B and
+    #               equivalence tests; results are identical).
+    control_plane: str = "task"
+    # Pending-frontier partition count for the task-graph control plane.
+    # Sizing rule: a bucket's pending rows live as ONE Arrow object between
+    # rounds (~150 B/row), so choose host_buckets >= peak_pending_rows x
+    # 150 B / 1 GiB; 64 covers ~400M pending rows, a 256-node 10^10-URL
+    # crawl sets a few thousand. Selection skew from hub hosts is bounded
+    # separately (salted two-stage selection).
+    host_buckets: int = 64
     # Application-level retry budget for the fetch/extract stage
     # (reference workflows/krx_etl_workflow.yaml:41-47: 3 attempts with
     # exponential backoff on transient errors). fetch_failure_rate > 0
@@ -449,9 +466,11 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
     robots_ref = ray.put(robots_idx)
 
     start_round = 0
-    # pending is a rd.Dataset (distributed rounds) or pa.Table (driver
-    # fast-path rounds) — dispatched per round on its row count
-    pending: rd.Dataset | pa.Table | None = None
+    # pending is dispatched per round on its row count + control plane:
+    # a TGParts (task-graph rounds), rd.Dataset (dataset-path rounds),
+    # pa.Table (driver fast-path rounds), or a checkpoint file list
+    # (resume — converted lazily by whichever path runs next)
+    pending = None
     n_pend = 0
     shards: SeenShards
     if resume:
@@ -476,8 +495,8 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
             n_pend = meta["pending"]
             if n_pend > 0:
                 import glob as _glob
-                files = sorted(_glob.glob(os.path.join(fdir, "*.parquet")))
-                pending = rd.read_parquet(files)
+                pending = sorted(_glob.glob(os.path.join(fdir,
+                                                         "*.parquet")))
             start_round = last + 1
             if n_pend == 0:
                 shards.kill()  # nothing to resume — don't leak shard actors
@@ -498,6 +517,12 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
                 new_df[list(_FRONTIER_COLS)], preserve_index=False) \
                 .cast(_EMPTY_FRONTIER.schema) if len(new_df) else None
             n_pend = len(new_df)
+        elif cfg.control_plane == "task":
+            from .frontier_tg import tg_ingest_table
+            state = tg_ingest_table(seeds_tbl, robots_ref, shards,
+                                    cfg.host_buckets)
+            n_pend = state.n
+            pending = state if n_pend else None
         else:
             ds = _ingest(rd.from_arrow(seeds_tbl), robots_ref,
                          shards).materialize()
@@ -507,6 +532,14 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
             pending = None
 
     try:
+        from .frontier_tg import (
+            TGParts,
+            parts_from_dataset,
+            parts_from_files,
+            parts_from_table,
+            parts_to_table,
+            run_round_tg,
+        )
         for r in range(start_round, cfg.max_rounds):
             if pending is None:
                 break
@@ -520,12 +553,40 @@ def crawl(pages_path: str, out_dir: str, cfg: CrawlConfig,
                         pending = (pa.concat_tables(batches,
                                                     promote_options="default")
                                    if batches else _EMPTY_FRONTIER)
+                    elif isinstance(pending, TGParts):
+                        pending = parts_to_table(pending.parts)
+                    elif isinstance(pending, list):
+                        pending = pa.concat_tables(
+                            [pq.read_table(f) for f in pending],
+                            promote_options="default") \
+                            if pending else _EMPTY_FRONTIER
                     pending = _run_round_small(r, pending, idx_dir, out_dir,
                                                cfg, robots_idx, shards)
                     n_pend = pending.num_rows if pending is not None else 0
+                elif cfg.control_plane == "task":
+                    if isinstance(pending, pa.Table):
+                        pending = TGParts(
+                            parts_from_table(pending, cfg.host_buckets),
+                            n_pend)
+                    elif isinstance(pending, list):
+                        pending = TGParts(
+                            parts_from_files(pending, cfg.host_buckets),
+                            n_pend)
+                    elif isinstance(pending, rd.Dataset):
+                        pending = TGParts(
+                            parts_from_dataset(pending, cfg.host_buckets),
+                            n_pend)
+                    pending = run_round_tg(r, pending, idx_dir, out_dir,
+                                           cfg, robots_ref, shards)
+                    n_pend = pending.n if pending is not None else 0
                 else:
                     if isinstance(pending, pa.Table):
                         pending = rd.from_arrow(pending)
+                    elif isinstance(pending, list):
+                        pending = rd.read_parquet(pending)
+                    elif isinstance(pending, TGParts):
+                        pending = rd.from_arrow_refs(
+                            [p for pieces in pending.parts for p in pieces])
                     pending = _run_round(r, pending, idx_dir, out_dir, cfg,
                                          robots_ref, shards)
                     n_pend = pending.count() if pending is not None else 0

@@ -110,6 +110,54 @@ def test_distributed_path_equals_driver_path(corpus, crawl_result):
     assert list(p3["text"]) == list(pf["text"])
 
 
+def test_dataset_control_plane_equals_taskgraph(corpus, crawl_result,
+                                                oracle_result):
+    """Round 5: the Ray Data round loop (control_plane='dataset') and the
+    static task-graph control plane (default 'task') must produce the
+    identical crawl — order, pages, text, and final cuckoo state."""
+    seeds, robots = _fixtures(corpus)
+    outd = os.path.join(corpus, "crawl_dataset_plane")
+    shutil.rmtree(outd, ignore_errors=True)
+    cfgd = CrawlConfig(**{**CFG.__dict__, "driver_small_round_rows": 0,
+                          "control_plane": "dataset"})
+    crawl(os.path.join(corpus, "corpus", "pages"), outd, cfgd, seeds, robots)
+    out_full, _ = crawl_result
+    assert _engine_order(outd) == _engine_order(out_full)
+    pd_ = read_crawl_pages(outd).to_pandas().sort_values("url")
+    pf = read_crawl_pages(out_full).to_pandas().sort_values("url")
+    assert list(pd_["url"]) == list(pf["url"])
+    assert list(pd_["text"]) == list(pf["text"])
+    last = sorted(glob.glob(os.path.join(outd, "rounds", "round=*",
+                                         "seen")))[-1]
+    for s, ocf in enumerate(oracle_result["filters"]):
+        ecf = CuckooFilter.load(os.path.join(last, f"shard-{s}.npz"))
+        assert np.array_equal(ecf.table, ocf.table)
+        assert ecf.overflow == ocf.overflow
+
+
+def test_resume_across_control_planes(corpus, crawl_result):
+    """A crawl checkpointed by the dataset control plane must resume
+    cleanly under the task-graph plane (and produce the identical crawl)
+    — the checkpoint format is the shared contract."""
+    seeds, robots = _fixtures(corpus)
+    pages_path = os.path.join(corpus, "corpus", "pages")
+    outx = os.path.join(corpus, "crawl_xplane")
+    shutil.rmtree(outx, ignore_errors=True)
+    cfg_a = CrawlConfig(**{**CFG.__dict__, "max_rounds": 2,
+                           "driver_small_round_rows": 0,
+                           "control_plane": "dataset"})
+    crawl(pages_path, outx, cfg_a, seeds, robots)
+    cfg_b = CrawlConfig(**{**CFG.__dict__, "driver_small_round_rows": 0,
+                           "control_plane": "task"})
+    crawl(pages_path, outx, cfg_b, seeds, robots, resume=True)
+    out_full, _ = crawl_result
+    assert _engine_order(outx) == _engine_order(out_full)
+    px = read_crawl_pages(outx).to_pandas().sort_values("url")
+    pf = read_crawl_pages(out_full).to_pandas().sort_values("url")
+    assert list(px["url"]) == list(pf["url"])
+    assert list(px["text"]) == list(pf["text"])
+
+
 def test_salted_selection_equals_unsalted(corpus, crawl_result):
     """politeness_salt>1 (hub-host skew containment) must not change the
     crawl: two-stage top-k == plain per-host top-k."""
@@ -369,3 +417,67 @@ def test_digest_kernels_reject_misaligned_digests():
     # check — the guard catches length drift, not crafted adversarial
     # pairs (digests come from hashlib.sha1, which cannot produce either)
     assert len(bucket_of_many(bad, 8)) == 2
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property: fast-path / distributed-path / control-plane
+# equivalence under randomized seed lists and thresholds (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_prop_cases = st.fixed_dictionaries({
+    "seed_idx": st.lists(st.integers(min_value=0, max_value=15),
+                         min_size=1, max_size=6, unique=True),
+    "prios": st.lists(st.integers(min_value=1, max_value=9),
+                      min_size=6, max_size=6),
+    "threshold": st.sampled_from([0, 2, 64, 100000]),
+    "plane": st.sampled_from(["task", "dataset"]),
+    "salt": st.sampled_from([0, 3]),
+})
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(case=_prop_cases)
+def test_any_layout_matches_oracle(corpus, case):
+    """For ANY seed subset/priorities, driver-fast-path threshold,
+    control plane, and salt setting, the crawl's order, page set, and
+    seen-hash set must equal the single-threaded oracle's."""
+    import pyarrow as pa
+
+    seeds, robots = _fixtures(corpus)
+    urls = seeds.column("url").to_pylist()
+    idx = [i % len(urls) for i in case["seed_idx"]]
+    idx = list(dict.fromkeys(idx))  # unique, order-preserving
+    sub = pa.table({
+        "url": pa.array([urls[i] for i in idx], pa.string()),
+        "priority": pa.array(
+            [case["prios"][k % len(case["prios"])] / 10.0
+             for k in range(len(idx))], pa.float64()),
+    })
+    cfg = CrawlConfig(**{**CFG.__dict__, "max_rounds": 3,
+                         "driver_small_round_rows": case["threshold"],
+                         "control_plane": case["plane"],
+                         "politeness_salt": case["salt"]})
+    key = (tuple(sorted(idx)), case["threshold"], case["plane"],
+           case["salt"])
+    out = os.path.join(corpus, "crawl_prop")
+    shutil.rmtree(out, ignore_errors=True)
+    summary = crawl(os.path.join(corpus, "corpus", "pages"), out, cfg,
+                    sub, robots)
+    orc = oracle_crawl(os.path.join(corpus, "corpus", "pages"),
+                       sub, robots, cfg)
+    assert _engine_order(out) == sorted(orc["order"]), key
+    assert summary["fetched"] == orc["fetched"], key
+    if summary["fetched"]:
+        pages = read_crawl_pages(out).to_pandas()
+        assert set(pages["url"]) == set(orc["pages"]), key
+    last = sorted(glob.glob(os.path.join(out, "rounds", "round=*",
+                                         "seen")))[-1]
+    for s, ocf in enumerate(orc["filters"]):
+        ecf = CuckooFilter.load(os.path.join(last, f"shard-{s}.npz"))
+        assert np.array_equal(ecf.table, ocf.table), (key, s)
+        assert ecf.overflow == ocf.overflow, (key, s)
