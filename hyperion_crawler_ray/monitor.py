@@ -57,6 +57,17 @@ def evaluate_alerts(lineage: pa.Table,
                 "alert": "latency", "observed": round(wall_s, 3),
                 "threshold": float(th["max_stage_seconds"]),
                 "detail": rec["stage"]})
+        if rec.get("stage") == "seen_saturation":
+            try:
+                summ = json.loads(rec.get("result_summary") or "{}")
+            except json.JSONDecodeError:
+                summ = {}
+            rows.append({
+                "round": rec["round"], "task_id": rec["task_id"],
+                "alert": "seen_saturation",
+                "observed": float(summ.get("load", 0.0)),
+                "threshold": 0.8,
+                "detail": rec.get("result_summary", "")})
         if rec.get("stage") == "round" and status == "success":
             try:
                 summ = json.loads(rec.get("result_summary") or "{}")

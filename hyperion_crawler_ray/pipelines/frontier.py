@@ -695,6 +695,20 @@ def _finish_round(tmp: str, rdir: str, r: int, t0: float, n_pending: int,
         params = {"max_per_host_per_round": cfg.max_per_host_per_round,
                   "politeness_window_ms": cfg.politeness_window_ms,
                   "fetch_retry_attempts": cfg.fetch_retry_attempts}
+    # seen-filter saturation telemetry (round 5): one warning row per
+    # shard past 0.8 load — re-shard long before the exact overflow set
+    # starts absorbing keys (state/seen.py sizing note)
+    for st in shards.stats():
+        if st["load"] > 0.8 or st["overflow"]:
+            lineage.append({
+                "round": r, "task_id": f"r{r:04d}:seen:shard={st['shard']}",
+                "stage": "seen_saturation", "status": "warning",
+                "rows_in": -1, "rows_out": st["count"], "rows_rejected": -1,
+                "retries": 0, "wall_ms": -1.0,
+                "parameters": json.dumps({"shard": st["shard"]}),
+                "result_summary": json.dumps(
+                    {"load": round(st["load"], 4),
+                     "overflow": st["overflow"]})})
     lineage.append({
         "round": r, "task_id": f"r{r:04d}:round", "stage": "round",
         "status": "success", "rows_in": n_pending, "rows_out": n_fetched,

@@ -55,6 +55,20 @@ class CuckooFilter:
         self.table = np.zeros((m, _BUCKET), dtype=np.uint16)
         self.overflow: set[bytes] = set()
         self.count = 0
+        # per-bucket occupancy. Invariant: zeros in a row are a SUFFIX —
+        # inserts fill the first empty slot and the eviction chain only
+        # writes into full rows — so _fill[i] IS the next free slot.
+        # Derived state: rebuilt on load, not checkpointed.
+        self._fill = np.zeros(m, dtype=np.int8)
+
+    @property
+    def load_factor(self) -> float:
+        """Occupied fraction of the table (design load factor is 0.90;
+        past ~0.95 eviction chains fail and keys land in the exact
+        ``overflow`` set — correct but unbounded, so callers should alarm
+        on high load; see SeenShard.stats / the crawl's seen_saturation
+        lineage rows)."""
+        return self.count / float(self.nbuckets * _BUCKET)
 
     # -- index math -------------------------------------------------------
     def _i1(self, i1raw: np.ndarray) -> np.ndarray:
@@ -82,38 +96,72 @@ class CuckooFilter:
         return bool(self.contains_many([digest])[0])
 
     # -- mutation ---------------------------------------------------------
-    def insert(self, digest: bytes) -> None:
-        """Insert one key (assumed not present; caller dedups)."""
-        fp, i1raw = _parse([digest])
-        fpv = int(fp[0])
-        i1 = int(self._i1(i1raw)[0])
-        i2 = int(self._alt(i1, fpv))
-        self.count += 1
-        for idx in (i1, i2):
-            row = self.table[idx]
-            empty = np.nonzero(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = fpv
-                return
-        # deterministic eviction chain
+    def _evict_insert(self, i1: int, fpv: int, digest: bytes) -> None:
+        """Deterministic eviction chain for a key whose both buckets are
+        full. Rare (only near saturation). On MAXKICKS exhaustion the
+        chain is UNDONE before the new key goes to the exact overflow set
+        — the pre-round-5 code overflowed the new digest while leaving
+        the last kicked-out victim homeless, a FALSE NEGATIVE for an
+        earlier key (latent: only reachable past ~100% fill; found by the
+        round-5 saturation test)."""
+        tab, fill = self.table, self._fill
         idx, cur = i1, fpv
+        path: list[tuple[int, int]] = []
         for kicks in range(_MAXKICKS):
             slot = kicks % _BUCKET
-            victim = int(self.table[idx, slot])
-            self.table[idx, slot] = cur
+            victim = int(tab[idx, slot])
+            tab[idx, slot] = cur          # full row: fill unchanged
+            path.append((idx, slot))
             cur = victim
             idx = int(self._alt(idx, cur))
-            row = self.table[idx]
-            empty = np.nonzero(row == 0)[0]
-            if len(empty):
-                row[empty[0]] = cur
+            f = fill[idx]
+            if f < _BUCKET:
+                tab[idx, f] = cur
+                fill[idx] = f + 1
                 return
-        # table saturated for this chain: exact overflow (no false negatives)
+        # saturated: put every displaced fingerprint back (exact reverse
+        # replay), then keep the NEW key in the exact overflow set — no
+        # key, old or new, loses membership
+        homeless = cur
+        for idx2, slot2 in reversed(path):
+            displaced = int(tab[idx2, slot2])
+            tab[idx2, slot2] = homeless
+            homeless = displaced
+        assert homeless == fpv
         self.overflow.add(digest)
 
+    def insert(self, digest: bytes) -> None:
+        """Insert one key (assumed not present; caller dedups)."""
+        self.insert_many([digest])
+
     def insert_many(self, digests: list[bytes]) -> None:
-        for d in digests:
-            self.insert(d)
+        """Vectorized batch insert: fingerprints and both bucket indices
+        are precomputed for the whole batch (one numpy pass), the
+        occupancy array makes the common placement three scalar ops, and
+        only the rare both-buckets-full case walks the eviction chain.
+        State after the call is byte-identical to inserting the keys one
+        at a time in order (pinned by tests/test_state.py)."""
+        if not digests:
+            return
+        fp, i1raw = _parse(digests)
+        i1 = self._i1(i1raw)
+        i2 = self._alt(i1, fp).astype(np.int64)
+        tab, fill = self.table, self._fill
+        self.count += len(digests)
+        for k in range(len(digests)):
+            a = i1[k]
+            f = fill[a]
+            if f < _BUCKET:
+                tab[a, f] = fp[k]
+                fill[a] = f + 1
+                continue
+            b = i2[k]
+            f = fill[b]
+            if f < _BUCKET:
+                tab[b, f] = fp[k]
+                fill[b] = f + 1
+                continue
+            self._evict_insert(int(a), int(fp[k]), digests[k])
 
     # -- checkpoint -------------------------------------------------------
     def save(self, path: str) -> None:
@@ -131,4 +179,11 @@ class CuckooFilter:
         ovraw = z["overflow"].tobytes()
         obj.overflow = {ovraw[k : k + 20] for k in range(0, len(ovraw), 20)}
         obj.count = int(z["count"])
+        occ = obj.table != 0
+        obj._fill = occ.sum(axis=1).astype(np.int8)
+        # the fast insert path relies on zeros being a row SUFFIX; every
+        # writer maintains it, so a violation means checkpoint corruption
+        if not (occ == (np.arange(_BUCKET) < obj._fill[:, None])).all():
+            raise ValueError(f"corrupt cuckoo checkpoint {path}: "
+                             "non-suffix empty slots")
         return obj

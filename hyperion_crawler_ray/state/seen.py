@@ -13,6 +13,20 @@ frontier stage groups by shard and sorts before calling). Cuckoo insertion
 is itself deterministic (state/cuckoo.py), so filter state after round k
 is identical between an 8-CPU run, a 32-CPU run, and the single-threaded
 oracle.
+
+Capacity sizing (10^10-URL design point): each shard's cuckoo table holds
+``seen_capacity_per_shard`` keys at the 0.90 design load in
+``2 bytes x capacity/0.9`` of memory (a 2-byte fingerprint per key; the
+1<<20 default is ~2.3 MiB/shard). Size the shard count so
+``total_urls / n_shards <= seen_capacity_per_shard``: 10^10 URLs at the
+default capacity means ~10,000 shards (~23 GiB of filter state spread
+across the cluster at 0.05 CPU apiece), or fewer shards with capacity
+raised to 1<<27 (~300 MiB/shard, 75 shards). Past ~0.95 load insertion
+falls back to the exact-but-unbounded overflow set (no false negatives,
+but per-key memory jumps 10x) — the crawl emits a ``seen_saturation``
+lineage row + alert when any shard crosses 0.8 load so operators re-shard
+long before that; snapshots make re-sharding an offline split of the
+checkpointed key space.
 """
 
 from __future__ import annotations
@@ -67,8 +81,7 @@ class SeenShard:
         new digest as seen. ``digests`` must be sorted, unique, and owned
         by this shard (enforced by the caller)."""
         new = ~self.cf.contains_many(digests)
-        for k in np.nonzero(new)[0]:
-            self.cf.insert(digests[int(k)])
+        self.cf.insert_many([digests[int(k)] for k in np.nonzero(new)[0]])
         return new
 
     def contains_many(self, digests: list[bytes]) -> np.ndarray:
@@ -76,6 +89,14 @@ class SeenShard:
 
     def count(self) -> int:
         return self.cf.count
+
+    def stats(self) -> dict:
+        """Saturation telemetry: the crawl emits a ``seen_saturation``
+        lineage row (and alert) when ``load`` crosses 0.8 — past ~0.95
+        the table's eviction chains fail and keys land in the exact (but
+        unbounded) overflow set."""
+        return {"shard": self.shard_id, "count": self.cf.count,
+                "load": self.cf.load_factor, "overflow": len(self.cf.overflow)}
 
     def save(self, path: str) -> str:
         self.cf.save(path)
@@ -98,6 +119,9 @@ class SeenShards:
 
     def total_count(self) -> int:
         return sum(ray.get([a.count.remote() for a in self.actors]))
+
+    def stats(self) -> list[dict]:
+        return ray.get([a.stats.remote() for a in self.actors])
 
     def save(self, out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)
