@@ -591,6 +591,13 @@ def run_round_tg(r: int, state: TGParts, idx_dir: str, out_dir: str,
         total_per_bucket = np.sum(per_block, axis=0)
         pages_dir = os.path.join(tmp, "pages")
         os.makedirs(pages_dir, exist_ok=True)
+        # extract-slice size adapts to the cluster: a fixed 1024 starves
+        # mid-size rounds (10k pages -> 10 tasks < 16 cpus); target ~3
+        # task waves per core, floored so tiny slices don't drown in
+        # per-task overhead
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(256, min(_EXTRACT_SLICE_ROWS,
+                             n_selected // (3 * ncpus) + 1))
         ei = 0
         for b in np.nonzero(total_per_bucket)[0]:
             paths = sorted(_glob.glob(
@@ -598,7 +605,7 @@ def run_round_tg(r: int, state: TGParts, idx_dir: str, out_dir: str,
             if not paths:
                 continue
             n_out = min(_MAX_SLICES_PER_BUCKET,
-                        -(-int(total_per_bucket[b]) // _EXTRACT_SLICE_ROWS))
+                        -(-int(total_per_bucket[b]) // chunk))
             fslices = _tg_fetch_bucket.options(num_returns=n_out).remote(
                 paths, [rets[int(b)] for rets in split_returns],
                 _FETCH_COLS, n_out)

@@ -974,7 +974,15 @@ SQL_QUALITY = SQL_QUALITY.replace("@EMAIL@", _EMAIL_RE) \
 
 def q_ngram_jaccard(sf_dir):
     """n-gram (word-set) Jaccard of consecutive doc pairs via the
-    partitioned hash join."""
+    partitioned hash join.
+
+    Oracle-equality caveat (ADVICE round 4): the engine intersects
+    64-bit TOKEN HASHES while the SQL oracle intersects exact word
+    strings — a hash collision between distinct words in a doc pair (or
+    with the empty-doc sentinel) would diverge from the oracle at
+    probability ~n_tokens^2 x 2^-64 per pair. If this query ever
+    hash-mismatches in CORRECTNESS, triage a collision before suspecting
+    the kernels (same documented trade as functions/hashing.py LSH)."""
     left = _t(sf_dir, "documents", ["doc_id", "text"], blocks=8).map_batches(
         lambda df: df.assign(join_id=df["doc_id"] + 1),
         batch_format="pandas")
@@ -1316,10 +1324,11 @@ def q_multimodal_pipeline(sf_dir):
     """Multimodal plumbing (merged round 2): synth binary payloads ->
     actor-pool decode -> per-media-type routing (images/audio ->
     thumbnail resize; video -> frame-sample fan-out) -> unified artifact
-    rows. The decode kernels are honest deterministic stubs (no codec
-    libs in this container); the actor-pool shape, small-batch sizing
-    for wide binary rows, routing union and schemas are the real
-    plumbing."""
+    rows. Image payloads are REAL PNGs decoded by the pure-stdlib codec
+    (functions/png.py — round 5); audio/video kernels remain honest
+    deterministic stubs (no codec libs in this container). The actor-pool
+    shape, small-batch sizing for wide binary rows, routing union and
+    schemas are the real plumbing."""
     from ..stages.multimodal import (FrameSample, decode_media,
                                      media_pipeline, synth_media_table)
 

@@ -126,9 +126,23 @@ def co_locate(ds: rd.Dataset, part_col: str, n_parts: int,
     cluster co-location). Pick per call site; both take the same
     partition fn (here it only ever sees non-empty groups, plus Ray
     2.49's occasional empty pandas block, which every in-repo fn
-    guards)."""
-    return ds.groupby(part_col).map_groups(lambda t: fn(t),
-                                           batch_format="pyarrow")
+    guards). Shares ``exchange_map``'s fail-loud contract: a partition
+    id outside [0, n_parts) raises instead of silently flowing through
+    (ADVICE round 4 — the two variants are swap-in interchangeable)."""
+
+    def checked(t):
+        if isinstance(t, pa.Table) and part_col in t.schema.names \
+                and t.num_rows:
+            v = t.column(part_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if v.min() < 0 or v.max() >= n_parts:
+                raise ValueError(
+                    f"co_locate partition column {part_col!r} out of "
+                    f"range: [{v.min()}, {v.max()}] not within "
+                    f"[0, {n_parts})")
+        return fn(t)
+
+    return ds.groupby(part_col).map_groups(checked, batch_format="pyarrow")
 
 
 def exchange_map(ds: rd.Dataset, part_col: str, n_parts: int,

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container — see ``DecodeImage.__init__``); everything around them — the
-actor-pool stage shape, schema handling, small-batch sizing for wide
-binary rows, output layout — is real and tested. Swap ``_decode`` for a
-real decoder (PIL/ffmpeg) on a cluster that has one.
+Decode chain (round 5): PIL when present -> a REAL pure-stdlib PNG codec
+(functions/png.py: zlib inflate + spec unfiltering + nearest-neighbor
+thumbnail) for PNG payloads -> a deterministic fake for other media (no
+audio/video codec exists in this container). The actor-pool stage shape,
+schema handling, small-batch sizing for wide binary rows, and output
+layout are identical across the three paths, so pipelines written here
+run unchanged on a cluster with full codec libraries.
 """
 
 from __future__ import annotations
@@ -15,6 +17,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+from ..functions import png as _png
 
 MEDIA_SCHEMA = pa.schema([
     pa.field("media_id", pa.int64()),
@@ -32,37 +36,51 @@ def _try_import_pil():
 
 
 class DecodeImage:
-    """Actor-pool decode stage. With no codec library present, emits a
-    DETERMINISTIC FAKE decode (dimensions derived from payload hash) so
-    the pipeline shape, schema, and batch behavior are fully exercised;
-    with PIL available it decodes for real."""
+    """Actor-pool decode stage. Decoder chain per payload: PIL (when the
+    library exists) -> pure-stdlib PNG codec for PNG payloads (REAL
+    decode: true dimensions + nearest-neighbor thumbnail pixels as the
+    feature bytes) -> deterministic fake (dims from the payload hash) for
+    media with no in-container codec. The emitted ``decoder`` column
+    records which path ran, so tests can assert the real path actually
+    exercised."""
 
     def __init__(self, thumbnail: int = 32):
         self.pil = _try_import_pil()
         self.thumbnail = thumbnail
 
-    def _decode(self, payload: bytes) -> tuple[int, int, bytes]:
+    def _decode(self, payload: bytes) -> tuple[int, int, bytes, str]:
         if self.pil is not None:
             import io
-            img = self.pil.open(io.BytesIO(payload))
-            img.thumbnail((self.thumbnail, self.thumbnail))
-            w, h = img.size
-            return w, h, img.tobytes()
+            try:
+                img = self.pil.open(io.BytesIO(payload))
+                img.thumbnail((self.thumbnail, self.thumbnail))
+                w, h = img.size
+                return w, h, img.tobytes(), "pil"
+            except Exception:
+                pass  # not an image PIL knows — fall through
+        if _png.is_png(payload):
+            try:
+                img = _png.decode_png(payload)
+                h, w = img.shape[:2]
+                thumb = _png.resize_nearest(img, self.thumbnail)
+                return w, h, thumb.tobytes(), "png"
+            except _png.PngUnsupported:
+                pass  # interlaced/16-bit: fall back to the fake
         # deterministic fake: dims + "features" from the payload hash
         d = hashlib.sha1(payload).digest()
         w = 64 + d[0] % 192
         h = 64 + d[1] % 192
-        feat = d * 2  # 40 fake feature bytes
-        return w, h, feat
+        return w, h, d * 2, "fake"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, feats, sizes = [], [], [], []
+        widths, heights, feats, sizes, modes = [], [], [], [], []
         for p in batch.column("payload").to_pylist():
-            w, h, f = self._decode(p)
+            w, h, f, mode = self._decode(p)
             widths.append(w)
             heights.append(h)
             feats.append(f)
             sizes.append(len(p))
+            modes.append(mode)
         return pa.table({
             "media_id": batch.column("media_id"),
             "media_type": batch.column("media_type"),
@@ -70,6 +88,7 @@ class DecodeImage:
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
             "features": pa.array(feats, pa.binary()),
+            "decoder": pa.array(modes, pa.string()),
         })
 
 
@@ -153,10 +172,22 @@ def media_pipeline(ds: rd.Dataset, concurrency: int = 4) -> rd.Dataset:
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: image rows carry REAL PNG
+    payloads (random RGB pixels through functions/png.encode_png, so the
+    decode stage exercises the stdlib codec end-to-end); audio/video rows
+    carry opaque seeded bytes (no codec for them in-container)."""
     rng = np.random.RandomState(seed)
-    payloads = [rng.bytes(200 + int(rng.randint(0, 800))) for _ in range(n)]
-    types = [("image", "audio", "video")[i % 3] for i in range(n)]
+    payloads, types = [], []
+    for i in range(n):
+        mtype = ("image", "audio", "video")[i % 3]
+        types.append(mtype)
+        if mtype == "image":
+            h = 8 + int(rng.randint(0, 40))
+            w = 8 + int(rng.randint(0, 40))
+            img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payloads.append(_png.encode_png(img))
+        else:
+            payloads.append(rng.bytes(200 + int(rng.randint(0, 800))))
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
         "payload": pa.array(payloads, pa.binary()),

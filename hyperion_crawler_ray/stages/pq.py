@@ -54,7 +54,14 @@ def _sample_pool(ds: rd.Dataset, vec_col: str, sample: int) -> np.ndarray:
                              "__v": pa.array([], pa.list_(pa.float64()))})
         x = vec_matrix(t.column(vec_col))
         rk = _content_rank(x)
-        order = np.argsort(rk, kind="stable")[:sample]
+        order = np.argsort(rk, kind="stable")
+        if len(order) > sample:
+            # keep ties at the cut (kmeans's pool rule, verbatim): with
+            # duplicate vectors straddling the cut, dropping ties would
+            # make the pool depend on block layout (ADVICE round 4)
+            cut = rk[order[sample - 1]]
+            n_keep = int(np.searchsorted(rk[order], cut, side="right"))
+            order = order[:n_keep]
         return pa.table({"__rk": pa.array(rk[order]),
                          "__v": pa.array(list(x[order]),
                                          pa.list_(pa.float64()))})
@@ -203,7 +210,10 @@ def pq_search_rerank(ds: rd.Dataset, codes: rd.Dataset, vec_col: str,
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         keep = np.isin(ids, list(ray.get(cand_ids)))
         if not keep.any():
-            return pa.table({id_col: pa.array([], pa.int64()),
+            # derive the empty id column from the INPUT's type — a
+            # hardcoded int64 would disagree with non-int64 id columns
+            # on empty blocks and break the driver concat (ADVICE r4)
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
                              "cos": pa.array([], pa.float64())})
         vecs = _unit(vec_matrix(t.column(vec_col)))[keep]
         sims = vecs @ ray.get(qref)
