@@ -1315,9 +1315,26 @@ def q_ivf_topk(sf_dir):
     pq_hits["in_exact"] = pq_hits["vec_id"].isin(exact_ids)
     pq_hits["inertia_monotone"] = monotone   # column parity with ivf rows
     pq_hits["method"] = "pq"
-    return pd.concat(
-        [ivf, pq_hits[["method", "rank", "vec_id", "cos", "in_exact",
-                       "inertia_monotone"]]], ignore_index=True)
+
+    # round 5: IVF-PQ composition (Jégou 2011 §IV IVFADC — PQ on coarse
+    # residuals, cell-partitioned ~9-byte/vector layout, probed-cell ADC
+    # + exact re-rank): the 100-TB search touches n_probe cells of codes
+    # instead of sweeping all of them. Same self-validating recall row.
+    ipfit = pqm.ivfpq_fit(ds, "embedding", cents, m=8, ks=16)
+    ipq_dir = os.path.join("/tmp", "hyperion_ivfpq_r5_"
+                           + os.path.basename(os.path.normpath(sf_dir)))
+    pqm.ivfpq_build_index(ds, "embedding", "vec_id", ipfit, ipq_dir)
+    ivfpq_hits = pqm.ivfpq_search_rerank(
+        ds, ipq_dir, "embedding", "vec_id", ipfit, q, k=10, n_probe=4,
+        rerank=50)
+    ivfpq_hits["in_exact"] = ivfpq_hits["vec_id"].isin(exact_ids)
+    ivfpq_hits["inertia_monotone"] = monotone
+    ivfpq_hits["method"] = "ivfpq"
+
+    famcols = ["method", "rank", "vec_id", "cos", "in_exact",
+               "inertia_monotone"]
+    return pd.concat([ivf, pq_hits[famcols], ivfpq_hits[famcols]],
+                     ignore_index=True)
 
 
 def q_multimodal_pipeline(sf_dir):

@@ -226,3 +226,168 @@ def pq_search_rerank(ds: rd.Dataset, codes: rd.Dataset, vec_col: str,
                               kind="mergesort").head(k)
     parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
     return parts.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jégou 2011 §IV, "IVFADC"): coarse quantizer + PQ on RESIDUALS
+# ---------------------------------------------------------------------------
+
+def ivfpq_fit(ds: rd.Dataset, vec_col: str, centroids: np.ndarray,
+              m: int = 8, ks: int = 16, sample: int = 4096,
+              iters: int = 10) -> dict:
+    """Fit the residual product codebooks for IVF-PQ: every sampled
+    vector is assigned to its nearest coarse centroid and the PQ
+    codebooks are trained on the RESIDUAL ``unit(x) - centroid[cell]``
+    (one codebook shared across cells — the standard IVFADC layout).
+    Residuals are far more concentrated than raw vectors, so the same
+    8-byte code budget quantizes much finer than flat PQ. Sample pool,
+    Lloyd seeding and tie rules are the deterministic kit shared with
+    ``pq_fit``."""
+    assert ks <= 256, "codes are uint8"
+    cents = _unit(np.asarray(centroids, dtype=np.float64))
+    x = _unit(_sample_pool(ds, vec_col, sample))
+    d = x.shape[1]
+    assert d % m == 0, f"d={d} not divisible by m={m}"
+    cell = np.argmax(x @ cents.T, axis=1)
+    resid = x - cents[cell]
+    dsub = d // m
+    books = np.stack([_lloyd(resid[:, j * dsub:(j + 1) * dsub], ks, iters)
+                      for j in range(m)])
+    return {"codebooks": books, "m": m, "ks": ks, "centroids": cents}
+
+
+def ivfpq_build_index(ds: rd.Dataset, vec_col: str, id_col: str,
+                      fit: dict, idx_dir: str) -> None:
+    """Materialize the IVF-PQ layout ONCE: (id, cell, m uint8 residual
+    codes) Hive-partitioned by cell. The search representation is
+    ~9 bytes/vector and the probed read touches n_probe/n_cells of it —
+    the composition the flat ``pq_topk`` sweep lacks. Idempotent via
+    marker (same pattern as the IVF and crawl fetch indexes)."""
+    import json
+    import os
+
+    marker = os.path.join(idx_dir, "_IVFPQ_SUCCESS")
+    if os.path.exists(marker):
+        return
+    bref = ray.put((fit["centroids"], fit["codebooks"]))
+    m = int(fit["m"])
+
+    def f(t: pa.Table) -> pa.Table:
+        cents, books = ray.get(bref)
+        empty = pa.table({id_col: t.column(id_col).slice(0, 0),
+                          "cell": pa.array([], pa.int32()),
+                          "code": pa.array([], pa.list_(pa.uint8()))})
+        if t.num_rows == 0:
+            return empty
+        vecs = _unit(vec_matrix(t.column(vec_col)))
+        cell = np.argmax(vecs @ cents.T, axis=1)
+        codes = _encode_matrix(vecs - cents[cell], books)
+        col = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(codes) + 1, dtype=np.int32) * m),
+            pa.array(codes.reshape(-1)))
+        return pa.table({id_col: t.column(id_col),
+                         "cell": pa.array(cell.astype(np.int32), pa.int32()),
+                         "code": col})
+
+    ds.map_batches(f, batch_format="pyarrow") \
+        .write_parquet(idx_dir, partition_cols=["cell"])
+    with open(marker, "w") as f2:
+        json.dump({"m": m, "ks": int(fit["ks"]),
+                   "n_cells": len(fit["centroids"])}, f2)
+
+
+def ivfpq_topk(idx_dir: str, id_col: str, fit: dict, query: np.ndarray,
+               k: int, n_probe: int = 2) -> pd.DataFrame:
+    """ADC search over the probed cells only: per probe cell the query
+    residual ``q - centroid_c`` builds its own (m, ks) lookup table, the
+    cell's codes are scored with one fancy-gather + row-sum, and each
+    batch keeps its top-k (combiner) — driver merges <= k rows per block.
+    Returns (id, approx_cos, rank). approx_cos estimates
+    ``cos(q, x) ~= q . (centroid_c + decode(code))``."""
+    import glob as _glob
+    import os
+
+    cents = fit["centroids"]
+    books = fit["codebooks"]
+    m, ks, dsub = books.shape
+    q = _unit(np.asarray(query, dtype=np.float64))
+    probe = np.argsort(-(cents @ q))[:n_probe]
+    jdx = np.arange(m)
+    paths, luts = [], {}
+    for c in probe:
+        c = int(c)
+        got = sorted(_glob.glob(
+            os.path.join(idx_dir, f"cell={c}", "*.parquet")))
+        if not got:
+            continue
+        paths.extend(got)
+        # per-cell LUT: base = q . centroid_c, plus q-subvector dots
+        # against the shared residual codebooks
+        lut = np.stack([books[j] @ q[j * dsub:(j + 1) * dsub]
+                        for j in range(m)])
+        luts[c] = (float(cents[c] @ q), lut)
+    if not paths:
+        return pd.DataFrame({id_col: [], "approx_cos": [], "rank": []})
+    lref = ray.put(luts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t.column(id_col),
+                             "approx_cos": pa.array([], pa.float64())})
+        table = ray.get(lref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        flat = t.column("code")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        cm = np.asarray(flat.flatten()).reshape(len(ids), m)
+        scores = np.empty(len(ids), np.float64)
+        for c in np.unique(cell):
+            mask = cell == c
+            base, lut = table[int(c)]
+            scores[mask] = base + lut[jdx[None, :], cm[mask]].sum(axis=1)
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "approx_cos": pa.array(scores[order], pa.float64())})
+
+    parts = rd.read_parquet(paths, columns=[id_col, "cell", "code"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["approx_cos", id_col],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts.reset_index(drop=True)
+
+
+def ivfpq_search_rerank(ds: rd.Dataset, idx_dir: str, vec_col: str,
+                        id_col: str, fit: dict, query: np.ndarray, k: int,
+                        n_probe: int = 2, rerank: int = 50) -> pd.DataFrame:
+    """IVF-PQ two-stage search: probed-cell ADC nominates ``rerank``
+    candidates, exact cosine re-ranks them (same candidate-set shape as
+    ``pq_search_rerank`` — at scale the re-rank fetches candidates from
+    an id-partitioned layout instead of filtering a scan)."""
+    cand = ivfpq_topk(idx_dir, id_col, fit, query, k=rerank,
+                      n_probe=n_probe)
+    if not len(cand):
+        return pd.DataFrame({id_col: [], "cos": [], "rank": []})
+    cand_ids = ray.put(frozenset(int(i) for i in cand[id_col]))
+    q = _unit(np.asarray(query, dtype=np.float64))
+    qref = ray.put(q)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, list(ray.get(cand_ids)))
+        if not keep.any():
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "cos": pa.array([], pa.float64())})
+        vecs = _unit(vec_matrix(t.column(vec_col)))[keep]
+        sims = vecs @ ray.get(qref)
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "cos": pa.array(sims, pa.float64())})
+
+    parts = ds.map_batches(exact_partial, batch_format="pyarrow") \
+        .to_pandas()
+    parts = parts.sort_values(["cos", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts.reset_index(drop=True)
