@@ -116,7 +116,9 @@ def run_bench() -> dict:
     cfg = CrawlConfig(max_rounds=7, max_per_host_per_round=4096,
                       politeness_window_ms=1 << 22, n_shards=16, n_buckets=16,
                       score_pages=not os.environ.get("GRAFT_NO_SCORE"),
-                      driver_small_round_rows=2048)
+                      driver_small_round_rows=2048,
+                      host_buckets=int(os.environ.get("GRAFT_HOST_BUCKETS",
+                                                      "64")))
 
     t0 = time.perf_counter()
     build_fetch_index(os.path.join(corpus, "pages"),

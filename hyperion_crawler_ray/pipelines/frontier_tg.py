@@ -34,10 +34,11 @@ Shape:
        policy, WRITES its pages-parquet part, computes its per-bucket
        fetch-metrics partial, explodes+canonicalizes links, pre-dedups,
        and splits candidates by seen-shard (num_returns = 1 + n_shards).
-    5. admit: frontier._shard_admit_task per shard — the same global
-       dedup winner rule, robots gate, and ONE sorted check_and_insert
-       call per shard per round (the determinism contract of state/seen).
-    6. route + finalize: admitted rows split by hash(host) -> per-bucket
+    5. admit+route (fused, one task per shard): the same global dedup
+       winner rule, robots gate, and ONE sorted check_and_insert call
+       per shard per round (the determinism contract of state/seen),
+       then the admitted rows split by hash(host) in the same task.
+    6. finalize: per-bucket
        finalize task concats deferred + new, writes the frontier_next
        checkpoint part, and returns (piece, count) for the next round.
 
@@ -88,7 +89,6 @@ from .frontier import (
     _finish_round,
     _pages_from_extracted,
     _prepare_round_dir,
-    _shard_admit_task,
     _split_block_by_bucket,
     bucket_of_many,
 )
@@ -341,6 +341,58 @@ def _tg_extract(fetch_slice: pa.Table, score: bool, attempts: int,
 # Route + finalize
 # --------------------------------------------------------------------------
 
+def _digest_matrix(col) -> np.ndarray:
+    """url_hash binary column -> zero-copy (n, 20) uint8 view (via a
+    fixed_size_binary cast — no per-row Python bytes objects)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    fsb = col.cast(pa.binary(20))
+    raw = np.frombuffer(fsb.buffers()[1], np.uint8)
+    start = fsb.offset * 20
+    return raw[start:start + len(fsb) * 20].reshape(-1, 20)
+
+
+@ray.remote
+def _tg_admit_route(robots_idx, actor, n: int, *pieces: pa.Table):
+    """Fused admit + host-route for the task-graph round: same admission
+    semantics as frontier._shard_admit_task — global per-shard dedup
+    (winner: max priority, min depth; S20 lexsort over the raw digests,
+    equal to the pandas hash_hex sort since hex order == byte order),
+    robots gate, ONE sorted-unique check_and_insert call carrying a
+    single joined digest blob — then the admitted rows split by
+    hash(host) in the same task. Arrow/numpy throughout: no pandas
+    round-trip, no per-row digest objects (the admit hot path at
+    10^10-URL scale). num_returns = n + 1; last return is the admitted
+    row count. Pinned equal to the dataset plane + oracle by
+    tests/test_frontier.py."""
+    live = [p for p in pieces if p is not None and p.num_rows]
+    if not live:
+        return _split_host(_EMPTY_FRONTIER, n) + (0,)
+    t = pa.concat_tables(live, promote_options="default")
+    h = _digest_matrix(t.column("url_hash")).view("S20").ravel()
+    prio = t.column("priority").to_numpy(zero_copy_only=False)
+    depth = t.column("depth").to_numpy(zero_copy_only=False)
+    order = np.lexsort((depth, -prio, h))        # stable, matches pandas
+    hs = h[order]
+    first = np.ones(len(hs), bool)
+    if len(hs) > 1:
+        first[1:] = hs[1:] != hs[:-1]            # winner per unique hash
+    t = t.take(pa.array(order[first]))           # rows now hash-ascending
+    mask = robots_idx.allowed_mask(
+        t.column("host").to_numpy(zero_copy_only=False),
+        t.column("url").to_numpy(zero_copy_only=False))
+    if not mask.all():
+        t = t.filter(pa.array(mask))
+    if t.num_rows:
+        blob = _digest_matrix(t.column("url_hash")).tobytes()
+        new = ray.get(actor.check_and_insert.remote(blob))
+        keep = np.asarray(new, dtype=bool)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+    t = t.select(list(_FRONTIER_COLS)).cast(_EMPTY_FRONTIER.schema)
+    return _split_host(t, n) + (t.num_rows,)
+
+
 def _split_host(t: pa.Table, n: int) -> tuple:
     """Split one frontier table into n host-bucket slices."""
     if t.num_rows == 0:
@@ -351,13 +403,6 @@ def _split_host(t: pa.Table, n: int) -> tuple:
     bounds = np.searchsorted(hb[order], np.arange(n + 1))
     return tuple(t2.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k]))
                  for k in range(n))
-
-
-@ray.remote
-def _tg_route_hosts(tbl: pa.Table, n: int):
-    """Split one shard's admitted rows by hash(host) -> pending bucket.
-    num_returns = n + 1; last return is the row count."""
-    return _split_host(tbl, n) + (tbl.num_rows,)
 
 
 @ray.remote(num_returns=2)
@@ -454,13 +499,12 @@ def tg_ingest_table(cand: pa.Table, robots_ref, shards: SeenShards,
              for c in chunks]
     if n_shards == 1:
         preps = [[p] for p in preps]
-    admitted = [
-        _shard_admit_task.remote(robots_ref, shards.actors[k],
-                                 *[pp[k] for pp in preps])
+    routed = [
+        _tg_admit_route.options(num_returns=host_buckets + 1).remote(
+            robots_ref, shards.actors[k], host_buckets,
+            *[pp[k] for pp in preps])
         for k in range(n_shards)
     ]
-    routed = [_tg_route_hosts.options(num_returns=host_buckets + 1)
-              .remote(a, host_buckets) for a in admitted]
     n_pend = sum(ray.get([rt[host_buckets] for rt in routed]))
     parts = [[rt[b] for rt in routed] for b in range(host_buckets)]
     return TGParts(parts, n_pend)
@@ -636,17 +680,22 @@ def run_round_tg(r: int, state: TGParts, idx_dir: str, out_dir: str,
     retries = int(rets_v.sum())
     stage_t["fetch_extract"] = round(time.perf_counter() - _t, 3)
 
-    # ---- admit (per-shard, one sorted seen call) + route + finalize
+    # ---- fused admit+route (per-shard, one sorted seen call) + finalize
     _t = time.perf_counter()
+    trace = bool(os.environ.get("HYPERION_TG_TRACE"))
     routed: list = []
     if n_fetched:
-        admitted = [
-            _shard_admit_task.remote(robots_ref, shards.actors[k],
-                                     *[er[1 + k] for er in ext_returns])
+        routed = [
+            _tg_admit_route.options(num_returns=P + 1).remote(
+                robots_ref, shards.actors[k], P,
+                *[er[1 + k] for er in ext_returns])
             for k in range(cfg.n_shards)
         ]
-        routed = [_tg_route_hosts.options(num_returns=P + 1).remote(a, P)
-                  for a in admitted]
+        if trace:  # staged sync: attribute admit+route vs finalize
+            ray.wait([rt[P] for rt in routed], num_returns=len(routed))
+            stage_t["admit_route_only"] = round(time.perf_counter() - _t, 3)
+    if trace:
+        _t3 = time.perf_counter()
     fdir = os.path.join(tmp, "frontier_next")
     os.makedirs(fdir, exist_ok=True)
     fin: list = []
@@ -668,6 +717,8 @@ def run_round_tg(r: int, state: TGParts, idx_dir: str, out_dir: str,
         c = next(it)
         n_next += c
         parts_next.append([f[0]] if c else [])
+    if trace:
+        stage_t["finalize_only"] = round(time.perf_counter() - _t3, 3)
     stage_t["admit_union"] = round(time.perf_counter() - _t, 3)
 
     _finish_round(tmp, rdir, r, t0, n_pend, n_selected, n_fetched, n_next,

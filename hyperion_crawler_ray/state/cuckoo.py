@@ -31,15 +31,36 @@ _MAXKICKS = 500
 _ALT_MULT = np.uint64(0x5BD1E995)
 
 
-def _parse(digests: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+def _joined(digests) -> bytes:
+    """Accept a list of 20-byte digests OR one pre-joined blob (len
+    divisible by 20) — the blob form lets the crawl's admit path ship ONE
+    bytes object per shard call instead of tens of thousands."""
+    if isinstance(digests, (bytes, bytearray, memoryview)):
+        b = bytes(digests)
+        if len(b) % 20:
+            raise ValueError(f"digest blob length {len(b)} not a "
+                             "multiple of 20")
+        return b
+    return b"".join(digests)
+
+
+def _nth(digests, k: int) -> bytes:
+    """k-th digest under either representation (rare paths only)."""
+    if isinstance(digests, (bytes, bytearray, memoryview)):
+        return bytes(digests[20 * k:20 * (k + 1)])
+    return digests[k]
+
+
+def _parse(digests) -> tuple[np.ndarray, np.ndarray]:
     """(fingerprints uint16, primary-bucket uint64) for a list of 20-byte
-    digests."""
-    if not digests:
+    digests or a joined blob."""
+    joined = _joined(digests)
+    if not joined:
         return (np.empty(0, np.uint16), np.empty(0, np.uint64))
-    raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
+    raw = np.frombuffer(joined, dtype=np.uint8).reshape(-1, 20)
     fp = raw[:, 0].astype(np.uint16) | (raw[:, 1].astype(np.uint16) << 8)
     fp[fp == 0] = 1  # 0 marks an empty slot
-    i1 = np.zeros(len(digests), np.uint64)
+    i1 = np.zeros(len(raw), np.uint64)
     for b in range(2, 10):
         i1 = (i1 << np.uint64(8)) | raw[:, b].astype(np.uint64)
     return fp, i1
@@ -78,7 +99,8 @@ class CuckooFilter:
         return (np.uint64(idx) ^ (np.uint64(fp) * _ALT_MULT)) & self._mask
 
     # -- queries ----------------------------------------------------------
-    def contains_many(self, digests: list[bytes]) -> np.ndarray:
+    def contains_many(self, digests) -> np.ndarray:
+        """Membership for a list of digests or a joined 20N-byte blob."""
         fp, i1raw = _parse(digests)
         if len(fp) == 0:
             return np.zeros(0, bool)
@@ -87,8 +109,8 @@ class CuckooFilter:
         hit = (self.table[i1] == fp[:, None]).any(axis=1)
         hit |= (self.table[i2] == fp[:, None]).any(axis=1)
         if self.overflow:
-            for k, d in enumerate(digests):
-                if not hit[k] and d in self.overflow:
+            for k in np.nonzero(~hit)[0]:
+                if _nth(digests, int(k)) in self.overflow:
                     hit[k] = True
         return hit
 
@@ -134,21 +156,22 @@ class CuckooFilter:
         """Insert one key (assumed not present; caller dedups)."""
         self.insert_many([digest])
 
-    def insert_many(self, digests: list[bytes]) -> None:
-        """Vectorized batch insert: fingerprints and both bucket indices
-        are precomputed for the whole batch (one numpy pass), the
-        occupancy array makes the common placement three scalar ops, and
-        only the rare both-buckets-full case walks the eviction chain.
-        State after the call is byte-identical to inserting the keys one
-        at a time in order (pinned by tests/test_state.py)."""
+    def insert_many(self, digests) -> None:
+        """Vectorized batch insert (list of digests or joined blob):
+        fingerprints and both bucket indices are precomputed for the
+        whole batch (one numpy pass), the occupancy array makes the
+        common placement three scalar ops, and only the rare
+        both-buckets-full case walks the eviction chain. State after the
+        call is byte-identical to inserting the keys one at a time in
+        order (pinned by tests/test_cuckoo.py)."""
         if not digests:
             return
         fp, i1raw = _parse(digests)
         i1 = self._i1(i1raw)
         i2 = self._alt(i1, fp).astype(np.int64)
         tab, fill = self.table, self._fill
-        self.count += len(digests)
-        for k in range(len(digests)):
+        self.count += len(fp)
+        for k in range(len(fp)):
             a = i1[k]
             f = fill[a]
             if f < _BUCKET:
@@ -161,7 +184,7 @@ class CuckooFilter:
                 tab[b, f] = fp[k]
                 fill[b] = f + 1
                 continue
-            self._evict_insert(int(a), int(fp[k]), digests[k])
+            self._evict_insert(int(a), int(fp[k]), _nth(digests, k))
 
     # -- checkpoint -------------------------------------------------------
     def save(self, path: str) -> None:

@@ -76,12 +76,20 @@ class SeenShard:
         else:
             self.cf = CuckooFilter(capacity)
 
-    def check_and_insert(self, digests: list[bytes]) -> np.ndarray:
+    def check_and_insert(self, digests) -> np.ndarray:
         """Return a bool mask of digests NOT previously seen; marks every
         new digest as seen. ``digests`` must be sorted, unique, and owned
-        by this shard (enforced by the caller)."""
+        by this shard (enforced by the caller). Accepts a list of 20-byte
+        digests or ONE joined blob — the blob form ships a single bytes
+        object per shard per round instead of tens of thousands (round-5
+        admit hot path)."""
         new = ~self.cf.contains_many(digests)
-        self.cf.insert_many([digests[int(k)] for k in np.nonzero(new)[0]])
+        if isinstance(digests, (bytes, bytearray, memoryview)):
+            raw = np.frombuffer(bytes(digests), np.uint8).reshape(-1, 20)
+            self.cf.insert_many(raw[new].tobytes())
+        else:
+            self.cf.insert_many(
+                [digests[int(k)] for k in np.nonzero(new)[0]])
         return new
 
     def contains_many(self, digests: list[bytes]) -> np.ndarray:
