@@ -1,5 +1,15 @@
 """Ray-Data-native URL-frontier + fetch scheduler (the flagship pipeline).
 
+Round 5: distributed rounds default to the STATIC TASK-GRAPH control
+plane (pipelines/frontier_tg.py — the pending frontier lives across
+rounds as host-hash-partitioned Arrow objects and a round is raw task
+layers with zero Dataset executions; see that module's docstring).
+``CrawlConfig.control_plane="dataset"`` selects this module's original
+Ray Data round loop — kept as the A/B twin, result-identical (pinned by
+tests/test_frontier.py). The driver fast path, fetch index, extract
+stage, lineage/checkpoint format, and all leaf semantics below are
+shared by both planes.
+
 Re-expresses the reference's E->T->L loop (SURVEY.md §3, §7) as a
 round-based crawl over a Parquet pages corpus:
 

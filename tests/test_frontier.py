@@ -481,3 +481,34 @@ def test_any_layout_matches_oracle(corpus, case):
         ecf = CuckooFilter.load(os.path.join(last, f"shard-{s}.npz"))
         assert np.array_equal(ecf.table, ocf.table), (key, s)
         assert ecf.overflow == ocf.overflow, (key, s)
+
+
+def test_seen_saturation_lineage_and_alert(corpus, tmp_path):
+    """Round-5 punch #8: a crawl whose seen shards cross 0.8 load must
+    emit seen_saturation lineage rows (status=warning, load in
+    result_summary) and matching alerts — saturation is loud, not
+    silent."""
+    import json as _json
+
+    seeds, robots = _fixtures(corpus)
+    out = os.path.join(tmp_path, "crawl_sat")
+    # capacity 64/shard, 1 shard: the ~300-url crawl saturates it
+    cfg = CrawlConfig(**{**CFG.__dict__, "n_shards": 1,
+                         "seen_capacity_per_shard": 64})
+    crawl(os.path.join(corpus, "corpus", "pages"), out, cfg, seeds, robots)
+    lin_rows, alert_rows = [], []
+    for f in sorted(glob.glob(os.path.join(out, "rounds", "round=*",
+                                           "lineage.parquet"))):
+        df = pq.read_table(f).to_pandas()
+        lin_rows.append(df[df["stage"] == "seen_saturation"])
+    for f in sorted(glob.glob(os.path.join(out, "rounds", "round=*",
+                                           "alerts.parquet"))):
+        df = pq.read_table(f).to_pandas()
+        alert_rows.append(df[df["alert"] == "seen_saturation"])
+    import pandas as pd
+    lin = pd.concat(lin_rows)
+    alerts = pd.concat(alert_rows)
+    assert len(lin) > 0 and (lin["status"] == "warning").all()
+    loads = [_json.loads(s)["load"] for s in lin["result_summary"]]
+    assert max(loads) > 0.8
+    assert len(alerts) > 0 and (alerts["observed"] > 0.8).any()
