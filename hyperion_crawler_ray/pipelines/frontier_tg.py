@@ -162,6 +162,49 @@ def _to_frontier_table(df: pd.DataFrame) -> pa.Table:
 # Selection
 # --------------------------------------------------------------------------
 
+def _politeness_split(t: pa.Table, robots_idx, max_per_host: int,
+                      window_ms: int) -> tuple[pa.Table, np.ndarray]:
+    """Core politeness selection, Arrow/numpy-native (no pandas, no
+    per-row string objects — at 10^9-row buckets the old to_pandas
+    materialized every url/host/hex): sort rows by (-priority, full
+    20-byte digest — exact hash_hex order), dictionary-encode hosts,
+    rank each row within its host via one stable argsort over codes,
+    and mark rank < budget(host). Returns (sorted table, selected mask
+    over it); equal to the pandas mergesort + groupby-cumcount rule by
+    construction (ties preserve the (priority, hash) order because the
+    code argsort is stable)."""
+    prio = t.column("priority").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    bits = prio.view(np.uint64)
+    mono = np.where(bits >> np.uint64(63) > 0, ~bits,
+                    bits | np.uint64(1 << 63))
+    pk = ~mono                                   # asc pk == desc priority
+    h20 = _digest_matrix(t.column("url_hash")).view("S20").ravel()
+    order = np.lexsort((h20, pk))
+    t = t.take(pa.array(order))
+
+    host = t.column("host")
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    enc = host.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    delay = robots_idx.delay_ms
+    budgets = np.fromiter(
+        (_budget(max_per_host, window_ms, delay.get(hst, 1000))
+         for hst in enc.dictionary.to_pylist()),
+        dtype=np.int64, count=len(enc.dictionary))
+    o2 = np.argsort(codes, kind="stable")        # group rows per host
+    grp = codes[o2]
+    new = np.ones(len(grp), bool)
+    if len(grp) > 1:
+        new[1:] = grp[1:] != grp[:-1]
+    gstart = np.nonzero(new)[0]
+    glen = np.diff(np.append(gstart, len(grp)))
+    rank = np.empty(len(grp), np.int64)
+    rank[o2] = np.arange(len(grp)) - np.repeat(gstart, glen)
+    return t, rank < budgets[codes]
+
+
 @ray.remote(num_returns=3)
 def _tg_select(robots_idx, max_per_host: int, window_ms: int,
                *pieces: pa.Table):
@@ -174,14 +217,9 @@ def _tg_select(robots_idx, max_per_host: int, window_ms: int,
         return _EMPTY_FRONTIER, _EMPTY_FRONTIER, {
             "n_sel": 0, "n_def": 0,
             "s_pk": np.empty(0, np.uint64), "s_h": np.empty(0, np.uint64)}
-    df = _sort_frontier_df(t.to_pandas())
-    delay = robots_idx.delay_ms
-    bmap = {h: _budget(max_per_host, window_ms, delay.get(h, 1000))
-            for h in df["host"].unique()}
-    rank = df.groupby("host", sort=False).cumcount()
-    sel = (rank < df["host"].map(bmap)).to_numpy()
-    sel_t = _to_frontier_table(df[sel])
-    def_t = _to_frontier_table(df[~sel])
+    ts, sel = _politeness_split(t, robots_idx, max_per_host, window_ms)
+    sel_t = ts.filter(pa.array(sel))
+    def_t = ts.filter(pa.array(~sel))
     pk, h = _rank_keys(sel_t)
     step = max(1, len(pk) // (_SAMPLES_PER_BUCKET - 1))
     meta = {"n_sel": sel_t.num_rows, "n_def": def_t.num_rows,
@@ -199,17 +237,14 @@ def _tg_partial_top(robots_idx, max_per_host: int, window_ms: int,
     unsalted selection; losers defer directly."""
     t = _concat_pieces(pieces)
     if t.num_rows and salt_n > 1:
-        saltv = shard_of_many(t.column("url_hash").to_pylist(), salt_n)
+        raw = _digest_matrix(t.column("url_hash"))
+        saltv = (raw[:, 18].astype(np.int64)
+                 | (raw[:, 19].astype(np.int64) << 8)) % salt_n
         t = t.filter(pa.array(saltv == salt_idx))
     if t.num_rows == 0:
         return _EMPTY_FRONTIER, _EMPTY_FRONTIER
-    df = _sort_frontier_df(t.to_pandas())
-    delay = robots_idx.delay_ms
-    bmap = {h: _budget(max_per_host, window_ms, delay.get(h, 1000))
-            for h in df["host"].unique()}
-    rank = df.groupby("host", sort=False).cumcount()
-    cand = (rank < df["host"].map(bmap)).to_numpy()
-    return _to_frontier_table(df[cand]), _to_frontier_table(df[~cand])
+    ts, cand = _politeness_split(t, robots_idx, max_per_host, window_ms)
+    return ts.filter(pa.array(cand)), ts.filter(pa.array(~cand))
 
 
 @ray.remote
@@ -221,11 +256,15 @@ def _tg_host_counts(floor: int, *pieces: pa.Table) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"host": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    vc = pd.Series(t.column("host").to_numpy(zero_copy_only=False)) \
-        .value_counts()
-    vc = vc[vc >= floor]
-    return pa.table({"host": pa.array(vc.index.astype(str), pa.string()),
-                     "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+    host = t.column("host")
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    vc = host.value_counts()
+    ns = vc.field("counts").to_numpy(zero_copy_only=False)
+    keep = ns >= floor
+    return pa.table({"host": vc.field("values").take(
+                        pa.array(np.nonzero(keep)[0])).cast(pa.string()),
+                     "n": pa.array(ns[keep].astype(np.int64), pa.int64())})
 
 
 # --------------------------------------------------------------------------
