@@ -45,6 +45,11 @@ def main() -> int:
                     help="fetch-index hash buckets")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the last checkpointed round")
+    ap.add_argument("--control-plane", choices=["task", "dataset"],
+                    default="task",
+                    help="distributed-round control plane: 'task' = the "
+                         "static co-partitioned task graph (default), "
+                         "'dataset' = the Ray Data round loop (A/B twin)")
     args = ap.parse_args()
 
     import ray
@@ -63,7 +68,8 @@ def main() -> int:
 
     cfg = CrawlConfig(max_rounds=args.rounds,
                       max_per_host_per_round=args.per_host,
-                      n_shards=args.shards, n_buckets=args.buckets)
+                      n_shards=args.shards, n_buckets=args.buckets,
+                      control_plane=args.control_plane)
     seeds = pq.read_table(args.seeds)
     robots = pq.read_table(args.robots)
     summary = crawl(args.pages, args.out, cfg, seeds, robots,
