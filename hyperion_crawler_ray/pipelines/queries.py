@@ -1010,11 +1010,7 @@ def q_ngram_jaccard(sf_dir):
         hb, ob = H.tokenize_batch(t.column("text_b"))
         sa = H.shingle_hashes_from_tokens(ha, oa, 1)
         sb = H.shingle_hashes_from_tokens(hb, ob, 1)
-        sims = np.empty(t.num_rows, np.float64)
-        for i in range(t.num_rows):
-            inter = len(np.intersect1d(sa[i], sb[i], assume_unique=True))
-            union = len(sa[i]) + len(sb[i]) - inter
-            sims[i] = inter / union if union else 1.0
+        sims = H.pairwise_jaccard(sa, sb)
         return pa.table({"doc_id": t.column("doc_id"),
                          "jaccard": _rnd(pa.array(sims, pa.float64()), 6)})
 

@@ -269,11 +269,7 @@ def jaccard_verify(pairs_ds: rd.Dataset, docs_ds: rd.Dataset, id_col: str,
     def f(t: pa.Table) -> pa.Table:
         sa = _shingle_sets(t.column("__text_a"), shingle_k)
         sb = _shingle_sets(t.column("__text_b"), shingle_k)
-        sims = np.empty(t.num_rows, np.float64)
-        for i in range(t.num_rows):
-            inter = len(np.intersect1d(sa[i], sb[i], assume_unique=True))
-            union = len(sa[i]) + len(sb[i]) - inter
-            sims[i] = inter / union if union else 1.0
+        sims = H.pairwise_jaccard(sa, sb)
         out = pa.table({
             "id_a": t.column("id_a"),
             "id_b": t.column("id_b"),

@@ -192,3 +192,40 @@ def test_hash_tokens_matches_scalar_reference():
     toks = ["alpha", "b", "", "word12", "ünïcödé", "x" * 100]
     got = H.hash_tokens(pa.array(toks, pa.string())).tolist()
     assert got == scalar(toks)
+
+
+def test_pairwise_jaccard_equals_scalar_loop():
+    """The batched (pair_id, value)-lexsort Jaccard must equal the
+    per-pair np.intersect1d loop it replaced (round-5 vectorization of
+    the last per-pair Python hot spot), including empty-doc sentinel
+    sets, genuinely empty arrays, and identical/disjoint pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hyperion_crawler_ray.functions import hashing as H
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(60)]
+    docs_a = ["", "", "same same", "a b c", "x y z"]
+    docs_b = ["", "one", "same", "a b c", "p q r"]
+    docs_a += [" ".join(rng.choice(vocab, rng.randint(0, 40)))
+               for _ in range(60)]
+    docs_b += [" ".join(rng.choice(vocab, rng.randint(0, 40)))
+               for _ in range(60)]
+    for k in (1, 3):
+        ha, oa = H.tokenize_batch(pa.array(docs_a, pa.string()))
+        hb, ob = H.tokenize_batch(pa.array(docs_b, pa.string()))
+        sa = H.shingle_hashes_from_tokens(ha, oa, k)
+        sb = H.shingle_hashes_from_tokens(hb, ob, k)
+        got = H.pairwise_jaccard(sa, sb)
+        for i in range(len(docs_a)):
+            inter = len(np.intersect1d(sa[i], sb[i], assume_unique=True))
+            union = len(sa[i]) + len(sb[i]) - inter
+            want = inter / union if union else 1.0
+            assert got[i] == want, (k, i, got[i], want)
+    # genuinely 0-element inputs (below the sentinel layer)
+    e = np.empty(0, np.uint64)
+    v = np.array([1, 2], np.uint64)
+    out = H.pairwise_jaccard([e, e, v], [e, v, v])
+    assert out.tolist() == [1.0, 0.0, 1.0]
+    assert H.pairwise_jaccard([], []).size == 0
