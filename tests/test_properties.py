@@ -58,3 +58,25 @@ def test_extract_deterministic_and_link_found(body, href):
     assert extract_text(html) == extract_text(html)
     links = extract_links(html)
     assert href.strip() in links or href.strip() == ""
+
+
+@settings(max_examples=60, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.lists(st.integers(0, 50), max_size=40),
+              st.lists(st.integers(0, 50), max_size=40)),
+    max_size=30))
+def test_pairwise_jaccard_matches_set_arithmetic(pairs):
+    """hashing.pairwise_jaccard == exact |A∩B|/|A∪B| over arbitrary
+    uint64 sets (including empty sides and whole-batch-empty)."""
+    import numpy as np
+
+    from hyperion_crawler_ray.functions import hashing as H
+
+    sa = [np.unique(np.asarray(a, np.uint64)) for a, _ in pairs]
+    sb = [np.unique(np.asarray(b, np.uint64)) for _, b in pairs]
+    got = H.pairwise_jaccard(sa, sb)
+    assert got.shape == (len(pairs),)
+    for i, (a, b) in enumerate(pairs):
+        u = set(a) | set(b)
+        want = len(set(a) & set(b)) / len(u) if u else 1.0
+        assert got[i] == want, (i, got[i], want)
