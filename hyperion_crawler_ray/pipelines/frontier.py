@@ -1328,7 +1328,8 @@ def _run_round(r: int, pending: rd.Dataset, idx_dir: str, out_dir: str,
             budgets = df["host"].map(bmap)
             rank = df.groupby("host", sort=False).cumcount()
             df["selected"] = (rank < budgets).to_numpy()
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .replace_schema_metadata(None)
 
         from ..stages.exchange import exchange_map
         marked = exchange_map(

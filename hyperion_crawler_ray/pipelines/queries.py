@@ -47,8 +47,10 @@ def _t(sf_dir: str, name: str, columns: list[str] | None = None,
             blocks = min(64, max(8, os.path.getsize(path) >> 22))
         except OSError:
             blocks = None
-    return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=blocks)
+    from ..sources.readers import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet(path, columns=columns, override_num_blocks=blocks))
 
 
 def _rnd(arr, nd: int):

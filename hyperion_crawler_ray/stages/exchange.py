@@ -45,7 +45,11 @@ def _split_task(tbl: pa.Table, col: str, n: int):
         import pandas as pd
 
         assert isinstance(tbl, pd.DataFrame), type(tbl)
-        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        # strip the b'pandas' schema metadata from_pandas attaches — a
+        # schema WITH metadata is unhashable and defeats Ray's
+        # unify_schemas early-exit on every downstream block merge
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False) \
+            .replace_schema_metadata(None)
     if col not in tbl.schema.names:
         if tbl.num_rows == 0:
             # Ray 2.49 artifact: repartition of an empty dataset emits
@@ -107,7 +111,9 @@ def _pd_partition(f: Callable[["pd.DataFrame"], "pd.DataFrame"]):
 
     def g(t: pa.Table | None) -> pa.Table:
         df = pd.DataFrame() if t is None else t.to_pandas()
-        return pa.Table.from_pandas(f(df), preserve_index=False)
+        # metadata-free schema: keeps downstream unify_schemas hashable
+        return pa.Table.from_pandas(f(df), preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return g
 

@@ -262,7 +262,8 @@ def tfidf_top_terms(ds: rd.Dataset, id_col: str, text_col: str,
         df = df[df["term"] != ""]
         g = df.groupby([id_col, "term"], as_index=False, sort=False) \
               .size().rename(columns={"size": "tf"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     # coarse buckets, not raw term/doc groups: map_groups pays per-GROUP
     # Python overhead, so at vocab/corpus cardinality we group by a
